@@ -1,0 +1,151 @@
+"""PikeVM: Thompson NFA simulation with capture slots.
+
+The universal correctness backstop (reference analogue: nfa/pikevm.go —
+thread queues, DFS-priority leftmost-first, Longest/POSIX mode, capture
+slots).  This host implementation is the semantics oracle for every TPU
+kernel and the fallback when determinization overflows; it is also used for
+phase-2 capture extraction inside spans found by the DFA phases (the
+two-phase submatch design of meta/findall.go:49-128).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..nfa.nfa import NFA, Kind, Look, is_word_byte
+
+Slots = Tuple[int, ...]
+
+
+class PikeVM:
+    def __init__(self, nfa: NFA):
+        self.nfa = nfa
+        self.states = nfa.states
+        self.num_slots = nfa.num_slots
+
+    # -- look evaluation -------------------------------------------------
+    @staticmethod
+    def _look_ok(look: int, text: bytes, pos: int) -> bool:
+        n = len(text)
+        if look == Look.BEGIN_TEXT:
+            return pos == 0
+        if look == Look.END_TEXT:
+            return pos == n
+        if look == Look.BEGIN_LINE:
+            return pos == 0 or text[pos - 1] == 10
+        if look == Look.END_LINE:
+            return pos == n or text[pos] == 10
+        prev_w = pos > 0 and is_word_byte(text[pos - 1])
+        next_w = pos < n and is_word_byte(text[pos])
+        if look == Look.WORD_BOUNDARY:
+            return prev_w != next_w
+        return prev_w == next_w  # NO_WORD_BOUNDARY
+
+    # -- thread add (epsilon closure at a position) -----------------------
+    def _add(self, queue: List[Tuple[int, Slots]], on_queue: set,
+             sid: int, slots: Slots, text: bytes, pos: int) -> None:
+        stack: List[Tuple[int, Slots]] = [(sid, slots)]
+        states = self.states
+        while stack:
+            sid, slots = stack.pop()
+            if sid in on_queue:
+                continue
+            on_queue.add(sid)
+            st = states[sid]
+            k = st[0]
+            if k == Kind.SPLIT:
+                # push reversed so first target is processed first; use a
+                # sentinel frame per target to preserve slot values
+                for t in reversed(st[1:]):
+                    if t not in on_queue:
+                        stack.append((t, slots))
+            elif k == Kind.CAPTURE:
+                slot = st[1]
+                if slot < self.num_slots:
+                    new = list(slots)
+                    new[slot] = pos
+                    slots = tuple(new)
+                if st[2] not in on_queue:
+                    stack.append((st[2], slots))
+            elif k == Kind.LOOK:
+                if self._look_ok(st[1], text, pos) and st[2] not in on_queue:
+                    stack.append((st[2], slots))
+            elif k == Kind.RANGE or k == Kind.MATCH:
+                queue.append((sid, slots))
+            # FAIL: drop
+
+    # NOTE on priority: the explicit stack above visits SPLIT targets in
+    # DFS order but *interleaves* siblings' subtrees LIFO; to keep strict
+    # DFS priority we must push each target as its own frame and process
+    # to completion before the next.  A LIFO stack where we push targets in
+    # reverse achieves exactly DFS pre-order, because each popped frame
+    # expands before its right siblings are popped.
+
+    # -- main search -------------------------------------------------------
+    def search(self, text: bytes, start: int = 0,
+               anchored: bool = False, longest: bool = False,
+               end: Optional[int] = None) -> Optional[Slots]:
+        """Leftmost search from `start`; returns capture slots (slot 0/1 =
+        overall span) or None.  `longest` selects POSIX leftmost-longest."""
+        n = len(text) if end is None else end
+        nfa = self.nfa
+        start_sid = nfa.start_anchored
+        init_slots = tuple([-1] * self.num_slots)
+
+        curr: List[Tuple[int, Slots]] = []
+        nxt: List[Tuple[int, Slots]] = []
+        matched: Optional[Slots] = None
+        states = self.states
+
+        pos = start
+        while True:
+            on_q: set = set()
+            if curr:
+                pass
+            # seed a new thread for unanchored search (lowest priority)
+            if matched is None and (pos == start or not anchored):
+                # build into a fresh queue preserving existing priority
+                seed_q: List[Tuple[int, Slots]] = []
+                seed_on: set = set(t[0] for t in curr)
+                self._add(seed_q, seed_on, start_sid, init_slots, text, pos)
+                curr.extend(seed_q)
+
+            next_on: set = set()
+            nxt = []
+            for idx, (sid, slots) in enumerate(curr):
+                st = states[sid]
+                if st[0] == Kind.MATCH:
+                    if longest:
+                        if (matched is None or slots[0] < matched[0] or
+                                (slots[0] == matched[0]
+                                 and slots[1] > matched[1])):
+                            matched = slots
+                        continue  # keep lower-priority threads in longest
+                    matched = slots
+                    break  # leftmost-first: prune lower priority
+                else:  # RANGE
+                    if pos < n and st[1] <= text[pos] <= st[2]:
+                        self._add(nxt, next_on, st[3], slots, text, pos + 1)
+            if pos >= n:
+                break
+            curr = nxt
+            pos += 1
+            if not curr and (matched is not None or anchored):
+                break
+            if not curr and matched is None and not anchored:
+                # no live threads: skip ahead is handled by prefilters at
+                # the engine layer; here just continue seeding
+                pass
+        return matched
+
+    # convenience: span only
+    def find(self, text: bytes, start: int = 0, anchored: bool = False,
+             longest: bool = False) -> Optional[Tuple[int, int]]:
+        m = self.search(text, start, anchored, longest)
+        if m is None:
+            return None
+        return (m[0], m[1])
+
+    def is_match(self, text: bytes, start: int = 0,
+                 anchored: bool = False, longest: bool = False) -> bool:
+        return self.search(text, start, anchored, longest) is not None

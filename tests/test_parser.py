@@ -1,0 +1,78 @@
+"""Parser tests: Go regexp/syntax dialect conformance and error cases."""
+
+import pytest
+
+from coregex_tpu.syntax.ast import Op
+from coregex_tpu.syntax.parser import ParseError, parse
+
+
+def test_basic_structure():
+    p = parse(r"a(b|c)*d")
+    assert p.num_captures == 1
+    assert p.ast.op == Op.CONCAT
+
+
+def test_named_capture_variants():
+    for pat in [r"(?P<name>x)", r"(?<name>x)"]:
+        p = parse(pat)
+        assert p.group_names == ["name"]
+        assert p.subexp_names() == ["", "name"]
+
+
+def test_flags_scoping():
+    # (?i) applies to remainder of group only
+    p = parse(r"a(?i:b)c")
+    assert p.ast.op == Op.CONCAT
+
+
+def test_errors():
+    bad = [
+        r"(", r")", r"a)", r"[a", r"a{2,1}", r"*a", r"a**", r"a*+",
+        r"\1", r"(?P=name)", r"(?=x)", r"(?!x)", r"(?<=x)", r"(?<!x)",
+        "a\\", "[z-a]", r"\p{Nosuch}", r"a{1001}",
+    ]
+    for pat in bad:
+        with pytest.raises(ParseError):
+            parse(pat)
+
+
+def test_literal_brace():
+    # unparseable {} is a literal, like Go
+    p = parse(r"a{,2}")
+    assert p.ast.op == Op.LITERAL  # 'a' '{' ',' '2' '}' coalesced
+    assert p.ast.runes == tuple(ord(c) for c in "a{,2}")
+
+
+def test_class_edge_cases():
+    parse(r"[]a]")      # leading ] is literal
+    parse(r"[a-]")      # trailing - literal
+    parse(r"[-a]")
+    parse(r"[^\d]")
+    parse(r"[\d\s]")
+    parse(r"[[:alpha:][:digit:]]")
+
+
+def test_quote_escape():
+    p = parse(r"\Qa+b\E")
+    assert p.ast.op in (Op.LITERAL, Op.CONCAT)
+
+
+def test_unicode_class():
+    p = parse(r"\p{L}+")
+    assert p.ast.op in (Op.PLUS,)
+    parse(r"\pN")
+    parse(r"\P{L}")
+
+
+def test_fold_unicode():
+    # (?i) over Greek sigma: σ Σ ς all fold together
+    p = parse(r"(?i)σ")
+    assert p.ast.op == Op.CHAR_CLASS
+    cps = {cp for lo, hi in p.ast.ranges for cp in range(lo, hi + 1)}
+    assert {0x3C3, 0x3A3, 0x3C2} <= cps
+
+
+def test_counted_repeat_limits():
+    parse(r"a{1000}")
+    with pytest.raises(ParseError):
+        parse(r"a{1001}")
