@@ -1,0 +1,351 @@
+"""Batch (TPU) execution engine: strategy pipelines over device arrays.
+
+This is the corpus-scale execution layer: where the reference walks bytes in
+a single thread (meta/find.go dispatch), this engine runs whole-corpus
+vectorized prefilters + batched DFA verification and reduces spans on host.
+All paths are span-exact vs the host engine (differential-tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..dfa.determinize import DFAOverflow, determinize
+from ..nfa.thompson import compile_nfa
+from ..syntax.ast import Node, Op
+from ..syntax.parser import Parsed
+from . import literal as litmod
+from .literal import UNIV_ANY, UNIV_LINE, UNIV_NONE
+from .strategy import Plan, Strategy, select
+
+MAX_CANDIDATES = 1 << 21
+MAX_STARTS = 1 << 22
+
+
+def _rune_width_np(data: np.ndarray, pos: int) -> int:
+    if pos >= len(data):
+        return 1
+    b = int(data[pos])
+    if b < 0xC0:
+        return 1
+    if b < 0xE0:
+        return 2
+    if b < 0xF0:
+        return 3
+    return 4
+
+
+def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
+              data: np.ndarray, limit: int = -1) -> np.ndarray:
+    """Non-overlapping leftmost-first selection with Go allMatches
+    semantics over candidate (start, end) pairs.  `starts` sorted unique
+    ascending, ends aligned (end >= start)."""
+    m = len(starts)
+    if m == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    # bulk fast path: no empties, no overlaps
+    if limit < 0 and np.all(ends[:-1] <= starts[1:]) and np.all(ends > starts):
+        return np.stack([starts, ends], axis=1).astype(np.int64)
+    out: List[Tuple[int, int]] = []
+    pos = 0
+    prev_end = -1
+    i = 0
+    while pos <= n and (limit < 0 or len(out) < limit):
+        i = int(np.searchsorted(starts, pos, side="left"))
+        if i >= m:
+            break
+        s = int(starts[i])
+        e = int(ends[i])
+        accept = True
+        if e == pos:
+            if s == prev_end:
+                accept = False
+            pos += _rune_width_np(data, pos)
+        else:
+            pos = e
+        prev_end = e
+        if accept:
+            out.append((s, e))
+    return np.array(out, dtype=np.int64).reshape(-1, 2)
+
+
+class BatchEngine:
+    """Per-pattern batch execution plan + device artifacts."""
+
+    def __init__(self, parsed: Parsed, ast: Node, dfas_ok: bool):
+        self.parsed = parsed
+        self.ast = ast
+        self.plan: Plan = select(ast, dfas_ok)
+        self._ddfa_cache: Dict[str, object] = {}
+        self._nfa_cache: Dict[str, object] = {}
+
+    # -- artifact builders (lazy) ---------------------------------------
+    def _dense(self, kind: str):
+        if kind in self._ddfa_cache:
+            return self._ddfa_cache[kind]
+        if kind == "fwd_all":
+            nfa = compile_nfa(self.parsed, with_captures=False)
+            d = determinize(nfa, anchored=False, break_at_match=False)
+        elif kind == "rev_all":
+            nfa = compile_nfa(self.parsed, reverse=True)
+            d = determinize(nfa, anchored=False, break_at_match=False,
+                            reverse=True)
+        elif kind == "fwd_anch_break":
+            nfa = compile_nfa(self.parsed, with_captures=False)
+            d = determinize(nfa, anchored=True, break_at_match=True)
+        elif kind == "rev_prefix":
+            # reverse DFA of (A · lit) for inner-candidate start discovery
+            sub = Parsed(self.plan.split.prefix_ast, 0, [],
+                         self.parsed.pattern + "<prefix>")
+            nfa = compile_nfa(sub, reverse=True)
+            d = determinize(nfa, anchored=True, break_at_match=False,
+                            reverse=True)
+        else:
+            raise KeyError(kind)
+        from ..ops.dfa_scan import DeviceDFA
+        dd = DeviceDFA.from_dense(d)
+        self._ddfa_cache[kind] = dd
+        return dd
+
+    # -- public entry points --------------------------------------------
+    def find_all_spans(self, data: np.ndarray, limit: int = -1
+                       ) -> np.ndarray:
+        """All non-overlapping spans with Go semantics; data is host uint8."""
+        import jax.numpy as jnp
+        n = len(data)
+        dev = jnp.asarray(data)
+        strat = self.plan.strategy
+        if strat == Strategy.CHARCLASS:
+            return self._charclass_spans(dev, n, limit)
+        if strat == Strategy.LITERAL:
+            return self._literal_spans(dev, data, n, limit)
+        if strat == Strategy.MULTI_LITERAL:
+            return self._multi_literal_spans(dev, data, n, limit)
+        if strat == Strategy.LINE_SHAPE:
+            return self._line_shape_spans(dev, data, n, limit)
+        if strat == Strategy.INNER:
+            return self._inner_spans(dev, data, n, limit)
+        if strat == Strategy.FULL_SCAN:
+            return self._full_scan_spans(dev, data, n, limit)
+        raise RuntimeError("host strategy should not reach BatchEngine")
+
+    def is_match(self, data: np.ndarray) -> bool:
+        import jax.numpy as jnp
+        n = len(data)
+        strat = self.plan.strategy
+        dev = jnp.asarray(data)
+        if strat in (Strategy.LITERAL, Strategy.MULTI_LITERAL,
+                     Strategy.CHARCLASS, Strategy.LINE_SHAPE,
+                     Strategy.INNER):
+            return len(self.find_all_spans(data, limit=1)) > 0
+        from ..ops.dfa_scan import ChunkScanner
+        flags, _ = ChunkScanner(self._dense("fwd_all")).scan(dev)
+        return bool(flags.any())
+
+    def count(self, data: np.ndarray) -> int:
+        return len(self.find_all_spans(data))
+
+    # -- strategy executors ---------------------------------------------
+    def _charclass_spans(self, dev, n, limit) -> np.ndarray:
+        from ..ops.bytescan import class_runs
+        cc = self.plan.charclass
+        starts, ends = class_runs(dev, np.array(cc.table, dtype=bool))
+        m, k = cc.min, cc.max
+        if m == 1 and k == -1:
+            spans = np.stack([starts, ends], axis=1)
+        else:
+            out: List[Tuple[int, int]] = []
+            for s, e in zip(starts, ends):
+                run = e - s
+                p = s
+                while run >= m:
+                    take = run if k == -1 else min(k, run)
+                    out.append((p, p + take))
+                    p += take
+                    run -= take
+                    if limit >= 0 and len(out) >= limit:
+                        break
+            spans = np.array(out, dtype=np.int64).reshape(-1, 2)
+        if limit >= 0:
+            spans = spans[:limit]
+        return spans.astype(np.int64)
+
+    def _literal_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.bytescan import memmem
+        lit = self.plan.literals[0]
+        k = len(lit)
+        pos = memmem(dev, lit)
+        ends = pos + k
+        return go_select(pos, ends, n, data, limit)
+
+    def _multi_literal_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.bytescan import multi_literal_hits
+        pos, idx, lens = multi_literal_hits(dev, self.plan.literals)
+        return go_select(pos, pos + lens, n, data, limit)
+
+    # .. line shapes .....................................................
+    def _line_shape_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.bytescan import (line_ends_for, line_starts_for, memmem,
+                                    newline_positions)
+        sp = self.plan.split
+        lit, k = sp.lit, len(sp.lit)
+        cand = memmem(dev, lit)
+        if len(cand) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        if len(cand) > MAX_CANDIDATES:
+            return self._full_scan_spans(dev, data, n, limit)
+
+        a_univ = sp.prefix_universal
+        b_empty = sp.suffix_ast.op == Op.EMPTY
+        b_univ = sp.suffix_universal
+        a_is_empty = litmod.exact_literals(sp.prefix_ast) == [lit] \
+            and not sp.line_anchored
+
+        if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
+            return self._line_shape_any(data, n, cand, k, a_univ, b_univ,
+                                        b_empty, a_is_empty, limit)
+
+        nl = newline_positions(dev)
+        ls = line_starts_for(cand, nl)
+        le = line_ends_for(cand, nl, n)
+        valid = cand + k <= le
+        if sp.line_anchored:
+            P = sp.prefix_literal
+            pl = len(P)
+            if pl:
+                Pb = np.frombuffer(P, dtype=np.uint8)
+                ok = ls + pl <= n
+                seg = np.zeros((len(ls), pl), dtype=np.uint8)
+                base = np.minimum(ls, n - pl)[:, None] + np.arange(pl)[None, :]
+                seg = data[base]
+                ok &= (seg == Pb[None, :]).all(axis=1)
+                valid &= ok & (cand >= ls + pl)
+        cand, ls, le = cand[valid], ls[valid], le[valid]
+        if len(cand) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+
+        # group by line (cand sorted ascending => ls non-decreasing)
+        uniq_ls, first_idx = np.unique(ls, return_index=True)
+        last_idx = np.concatenate([first_idx[1:] - 1, [len(cand) - 1]])
+        line_le = le[first_idx]
+
+        if a_is_empty:
+            # L .*   : (first candidate per line, line end)
+            spans = np.stack([cand[first_idx], line_le], axis=1)
+        elif b_empty:
+            # (.*|^P.*) L : (line start, last candidate + k)
+            spans = np.stack([uniq_ls, cand[last_idx] + k], axis=1)
+        else:
+            # (.*|^P.*) L .* : (line start, line end)
+            spans = np.stack([uniq_ls, line_le], axis=1)
+        if limit >= 0:
+            spans = spans[:limit]
+        return spans.astype(np.int64)
+
+    def _line_shape_any(self, data, n, cand, k, a_univ, b_univ, b_empty,
+                        a_is_empty, limit) -> np.ndarray:
+        """(?s) universal variants: at most one match."""
+        from ..ops.bytescan import line_ends_for, newline_positions
+        import jax.numpy as jnp
+        nl = newline_positions(jnp.asarray(data))
+        if a_univ == UNIV_ANY:
+            start = 0
+            if b_univ == UNIV_ANY:
+                end = n
+            elif b_univ == UNIV_LINE:
+                end = int(line_ends_for(cand[-1:], nl, n)[0])
+            else:
+                end = int(cand[-1]) + k
+        else:
+            # B is (?s).* universal; start side line-bounded or literal
+            end = n
+            if a_is_empty:
+                start = int(cand[0])
+            elif a_univ == UNIV_LINE:
+                from ..ops.bytescan import line_starts_for
+                start = int(line_starts_for(cand[:1], nl)[0])
+            else:
+                return self._inner_spans(jnp.asarray(data), data, n, limit)
+        return np.array([[start, end]], dtype=np.int64)
+
+    # .. inner-literal general ...........................................
+    def _rev_start_flags(self, dev, data, n, cand_end: np.ndarray
+                         ) -> np.ndarray:
+        """All match-start positions discovered by reverse scans of the
+        prefix DFA anchored at each candidate end.  Returns sorted unique
+        start offsets."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.dfa_scan import _window_scan_flags
+        rp = self._dense("rev_prefix")
+        fdev = jnp.flip(dev)
+        starts_all: List[np.ndarray] = []
+        todo = np.arange(len(cand_end))
+        W = 64
+        j0 = (n - cand_end).astype(np.int64)  # flipped-coords lane starts
+        while len(todo):
+            B = 1 << max(0, (len(todo) - 1)).bit_length()
+            sb = np.zeros(B, dtype=np.int32)
+            sb[:len(todo)] = j0[todo]
+            Wc = min(W, n + 1)
+            flags, alive = _window_scan_flags(
+                rp.delta, rp.match_on, rp.match_eoi, rp.starts, rp.classes,
+                fdev, jnp.asarray(sb), jnp.int32(n),
+                jnp.full(B, n, dtype=jnp.int32), B=B, W=Wc)
+            flags = np.asarray(jax.device_get(flags))[:len(todo)]
+            alive = np.asarray(jax.device_get(alive))[:len(todo)]
+            done = ~alive
+            for row, lane in zip(np.nonzero(done)[0], todo[done]):
+                ts = np.nonzero(flags[row])[0]
+                if len(ts):
+                    starts_all.append(n - (j0[lane] + ts))
+            todo = todo[alive]
+            W *= 4
+            if W > 4 * (n + 1):
+                # lanes alive beyond full text length cannot happen; safety
+                for lane in todo:
+                    pass
+                break
+        if not starts_all:
+            return np.empty(0, dtype=np.int64)
+        out = np.unique(np.concatenate(starts_all))
+        return out
+
+    def _inner_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.bytescan import memmem
+        from ..ops.dfa_scan import WindowScanner
+        sp = self.plan.split
+        k = len(sp.lit)
+        cand = memmem(dev, sp.lit)
+        if len(cand) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        if len(cand) > MAX_CANDIDATES:
+            return self._full_scan_spans(dev, data, n, limit)
+        starts = self._rev_start_flags(dev, data, n, cand + k)
+        if len(starts) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        ws = WindowScanner(self._dense("fwd_anch_break"))
+        ends = ws.ends_for_starts(dev, starts)
+        keep = ends >= 0
+        return go_select(starts[keep], ends[keep], n, data, limit)
+
+    # .. full scan ........................................................
+    def _full_scan_spans(self, dev, data, n, limit) -> np.ndarray:
+        import jax.numpy as jnp
+        from ..ops.dfa_scan import ChunkScanner, WindowScanner
+        rev = self._dense("rev_all")
+        fdev = jnp.flip(dev)
+        rflags, _ = ChunkScanner(rev).scan(fdev)
+        # flag at flipped offset j == match START at forward offset n - j
+        starts = np.sort(n - np.flatnonzero(rflags))
+        if len(starts) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        if len(starts) > MAX_STARTS:
+            starts = starts  # still exact, just big; proceed
+        ws = WindowScanner(self._dense("fwd_anch_break"))
+        ends = ws.ends_for_starts(dev, starts)
+        keep = ends >= 0
+        return go_select(starts[keep], ends[keep], n, data, limit)

@@ -92,12 +92,36 @@ class Engine:
             self.fwd = None
             self.rev = None
 
-        self._kernels = None  # lazy TPU execution plan
+        self._batch = None  # lazy TPU execution plan
+        self.batch_threshold = 1 << 14  # below this, host paths win
 
     # -- construction ---------------------------------------------------
     @classmethod
     def compile(cls, pattern: str, longest: bool = False, **kw) -> "Engine":
         return cls(parse(pattern), longest=longest)
+
+    # -- batch (TPU) plan -----------------------------------------------
+    def batch_engine(self):
+        if self._batch is None:
+            from .batch import BatchEngine
+            self._batch = BatchEngine(self.parsed, self.parsed.ast,
+                                      dfas_ok=self.fwd is not None)
+        return self._batch
+
+    @property
+    def strategy(self) -> str:
+        """Selected batch strategy name (Engine.Strategy() analogue)."""
+        return self.batch_engine().plan.strategy.value
+
+    @property
+    def strategy_reason(self) -> str:
+        return self.batch_engine().plan.reason
+
+    def _use_batch(self, arr: np.ndarray) -> bool:
+        if self.longest or len(arr) < self.batch_threshold:
+            return False
+        from .strategy import Strategy
+        return self.batch_engine().plan.strategy != Strategy.HOST
 
     # -- core single-search primitives ----------------------------------
     def _find_span_host(self, data: np.ndarray, pos: int
@@ -121,7 +145,11 @@ class Engine:
     # -- stdlib-compatible API ------------------------------------------
     def is_match(self, data: Bytes) -> bool:
         """Regexp.Match / MatchString (regex.go:282,295 analogue)."""
-        return self._is_match_host(_as_array(data))
+        arr = _as_array(data)
+        if self._use_batch(arr):
+            self.stats.kernel_scans += 1
+            return self.batch_engine().is_match(arr)
+        return self._is_match_host(arr)
 
     # Go-style aliases
     match = is_match
@@ -147,6 +175,10 @@ class Engine:
     # -- find-all (Go allMatches semantics, regexp.go) -------------------
     def _all_spans(self, arr: np.ndarray, limit: int = -1
                    ) -> List[Tuple[int, int]]:
+        if self._use_batch(arr):
+            self.stats.kernel_scans += 1
+            spans = self.batch_engine().find_all_spans(arr, limit)
+            return [(int(s), int(e)) for s, e in spans]
         n = len(arr)
         out: List[Tuple[int, int]] = []
         pos = 0

@@ -1,0 +1,259 @@
+"""Literal analysis over the AST.
+
+Capability analogue of the reference's literal/ package (extractor.go
+prefix/suffix/inner extraction + Seq algebra) re-scoped for the TPU
+strategies: exact-literal sets for the literal engines, inner-literal
+splits (PrefixAST/SuffixAST, meta/reverse_inner.go:206-256 analogue) for
+bidirectional candidate verification, and universal `.*` prefix/suffix
+detection for the line-shape fast paths (the matchStartZero shortcut of
+meta/reverse_suffix.go).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..syntax.ast import Node, Op, concat
+
+MAX_LITERALS = 64
+MAX_LIT_LEN = 64
+MAX_CLASS_EXPAND = 8
+
+
+def _rune_bytes(runes) -> Optional[bytes]:
+    try:
+        return "".join(chr(r) for r in runes).encode("utf-8")
+    except (ValueError, UnicodeEncodeError):
+        return None
+
+
+def exact_literals(node: Node) -> Optional[List[bytes]]:
+    """If `node` matches exactly a finite set of literals, return them in
+    priority (alternation) order; else None.  Capture groups are
+    transparent (spans are unaffected)."""
+    op = node.op
+    if op == Op.EMPTY:
+        return [b""]
+    if op == Op.LITERAL:
+        b = _rune_bytes(node.runes)
+        return None if b is None or len(b) > MAX_LIT_LEN else [b]
+    if op == Op.CHAR_CLASS:
+        chars = []
+        for lo, hi in node.ranges:
+            if hi - lo + 1 > MAX_CLASS_EXPAND:
+                return None
+            chars.extend(range(lo, hi + 1))
+            if len(chars) > MAX_CLASS_EXPAND:
+                return None
+        return [_rune_bytes((c,)) for c in chars]
+    if op == Op.CAPTURE:
+        return exact_literals(node.subs[0])
+    if op == Op.CONCAT:
+        parts: List[List[bytes]] = []
+        for sub in node.subs:
+            p = exact_literals(sub)
+            if p is None:
+                return None
+            parts.append(p)
+        out = [b""]
+        for p in parts:
+            out = [a + b for a in out for b in p]
+            if len(out) > MAX_LITERALS:
+                return None
+        return [o for o in out if len(o) <= MAX_LIT_LEN] \
+            if all(len(o) <= MAX_LIT_LEN for o in out) else None
+    if op == Op.ALTERNATE:
+        out: List[bytes] = []
+        for sub in node.subs:
+            p = exact_literals(sub)
+            if p is None:
+                return None
+            out.extend(p)
+            if len(out) > MAX_LITERALS:
+                return None
+        return out
+    return None
+
+
+def ascii_class_table(node: Node) -> Optional[List[bool]]:
+    """256-entry membership table for a single-byte-matching class node."""
+    if node.op == Op.CHAR_CLASS:
+        if not node.ranges or node.ranges[-1][1] >= 0x80:
+            return None
+        table = [False] * 256
+        for lo, hi in node.ranges:
+            for b in range(lo, hi + 1):
+                table[b] = True
+        return table
+    if node.op == Op.LITERAL and len(node.runes) == 1 and node.runes[0] < 0x80:
+        table = [False] * 256
+        table[node.runes[0]] = True
+        return table
+    return None
+
+
+@dataclass
+class CharClassShape:
+    """Pattern is exactly [class]{m,k} (greedy), m >= 1; k == -1 unbounded."""
+    table: List[bool]
+    min: int
+    max: int  # -1 unbounded
+
+
+def charclass_shape(node: Node) -> Optional[CharClassShape]:
+    if node.op == Op.CAPTURE:
+        inner = charclass_shape(node.subs[0])
+        return inner
+    if node.op == Op.PLUS and node.greedy:
+        t = ascii_class_table(node.subs[0])
+        if t is not None:
+            return CharClassShape(t, 1, -1)
+    if node.op == Op.REPEAT and node.greedy and node.min >= 1:
+        t = ascii_class_table(node.subs[0])
+        if t is not None:
+            return CharClassShape(t, node.min, node.max)
+    t = ascii_class_table(node)
+    if t is not None:
+        return CharClassShape(t, 1, 1)
+    return None
+
+
+UNIV_NONE = 0
+UNIV_LINE = 1   # (?-s) .*   — bounded by line
+UNIV_ANY = 2    # (?s) .*    — unbounded
+
+
+def _universality(node: Node) -> int:
+    """Is this node a universal greedy star (`.*` / `(?s).*`)?"""
+    if node.op == Op.STAR and node.greedy:
+        sub = node.subs[0]
+        if sub.op == Op.ANY_NOT_NL:
+            return UNIV_LINE
+        if sub.op == Op.ANY_CHAR:
+            return UNIV_ANY
+        if sub.op == Op.CHAR_CLASS:
+            # [^x]* style is not universal; only full-range classes
+            covered = sum(hi - lo + 1 for lo, hi in sub.ranges)
+            if covered >= 0x110000 - 1:
+                return UNIV_ANY
+    return UNIV_NONE
+
+
+@dataclass
+class InnerSplit:
+    """concat(A, lit, B) decomposition for candidate verification."""
+    lit: bytes
+    prefix_ast: Node           # A · lit  (reverse-DFA verification target)
+    suffix_ast: Node           # B
+    prefix_universal: int      # UNIV_* of A (when A is a single univ star)
+    suffix_universal: int      # UNIV_* of B
+    line_anchored: bool        # A begins with (?m)^
+    prefix_literal: bytes      # literal bytes that must begin the line
+    # (only meaningful when line_anchored and A == ^ P .*)
+
+
+def inner_split(root: Node) -> Optional[InnerSplit]:
+    """Find the best single inner literal in a top-level concatenation."""
+    node = root
+    while node.op == Op.CAPTURE:
+        node = node.subs[0]
+    if node.op != Op.CONCAT:
+        # a lone literal with nothing around it is the LITERAL strategy;
+        # here we only handle genuine splits
+        return None
+    children = list(node.subs)
+
+    best_i = -1
+    best_lit: Optional[bytes] = None
+    for i, ch in enumerate(children):
+        lits = exact_literals(ch)
+        if lits is not None and len(lits) == 1 and len(lits[0]) >= 2:
+            if best_lit is None or len(lits[0]) > len(best_lit):
+                best_i, best_lit = i, lits[0]
+    if best_lit is None:
+        return None
+
+    A = children[:best_i]
+    B = children[best_i + 1:]
+    prefix_ast = concat(children[:best_i + 1])
+    suffix_ast = concat(B)
+
+    prefix_universal = UNIV_NONE
+    line_anchored = False
+    prefix_literal = b""
+    if len(A) == 0:
+        prefix_universal = UNIV_NONE  # literal starts the match
+    elif len(A) == 1:
+        prefix_universal = _universality(A[0])
+    elif A and A[0].op == Op.BEGIN_LINE:
+        # (?m)^ P .* lit...
+        rest = A[1:]
+        if rest and _universality(rest[-1]) != UNIV_NONE:
+            plits = exact_literals(concat(rest[:-1])) if len(rest) > 1 \
+                else [b""]
+            if plits is not None and len(plits) == 1:
+                line_anchored = True
+                prefix_literal = plits[0]
+                prefix_universal = _universality(rest[-1])
+
+    suffix_universal = UNIV_NONE
+    if len(B) == 1:
+        suffix_universal = _universality(B[0])
+    elif len(B) == 0:
+        suffix_universal = UNIV_NONE
+
+    return InnerSplit(
+        lit=best_lit,
+        prefix_ast=prefix_ast,
+        suffix_ast=suffix_ast,
+        prefix_universal=prefix_universal,
+        suffix_universal=suffix_universal,
+        line_anchored=line_anchored,
+        prefix_literal=prefix_literal,
+    )
+
+
+def is_nullable(node: Node) -> bool:
+    """Can the pattern match the empty string?"""
+    op = node.op
+    if op in (Op.EMPTY, Op.STAR, Op.QUEST):
+        return True
+    if op in (Op.BEGIN_LINE, Op.END_LINE, Op.BEGIN_TEXT, Op.END_TEXT,
+              Op.WORD_BOUNDARY, Op.NO_WORD_BOUNDARY):
+        return True
+    if op == Op.LITERAL:
+        return len(node.runes) == 0
+    if op in (Op.CHAR_CLASS, Op.ANY_CHAR, Op.ANY_NOT_NL):
+        return False
+    if op == Op.PLUS:
+        return is_nullable(node.subs[0])
+    if op == Op.REPEAT:
+        return node.min == 0 or is_nullable(node.subs[0])
+    if op == Op.CAPTURE:
+        return is_nullable(node.subs[0])
+    if op == Op.CONCAT:
+        return all(is_nullable(s) for s in node.subs)
+    if op == Op.ALTERNATE:
+        return any(is_nullable(s) for s in node.subs)
+    return False
+
+
+def has_start_anchor(node: Node) -> bool:
+    """Pattern can only match at text start (every alternative begins \\A/^
+    non-multiline)."""
+    op = node.op
+    if op == Op.BEGIN_TEXT:
+        return True
+    if op == Op.CAPTURE:
+        return has_start_anchor(node.subs[0])
+    if op == Op.CONCAT:
+        for s in node.subs:
+            if has_start_anchor(s):
+                return True
+            if not is_nullable(s):
+                return False
+        return False
+    if op == Op.ALTERNATE:
+        return all(has_start_anchor(s) for s in node.subs)
+    return False

@@ -1,0 +1,99 @@
+"""Strategy selection — the meta-engine's decision tree.
+
+Capability analogue of the reference's 17-way SelectStrategy
+(meta/strategy.go:1377-1546), re-grouped for the TPU execution model into
+families that share kernels:
+
+  CHARCLASS     — [class]{m,k} run extraction (CharClassSearcher analogue)
+  LITERAL       — exact single literal: memmem is the engine
+  MULTI_LITERAL — exact alternation ≤64 literals (Teddy/AhoCorasick bypass)
+  LINE_SHAPE    — universal `.*` around an inner/suffix/prefix literal,
+                  incl. (?m)^prefix variants (ReverseSuffix/ReverseInner/
+                  MultilineReverseSuffix universal shortcuts)
+  INNER         — general inner-literal split with bidirectional DFA
+                  verification (ReverseInner general path)
+  FULL_SCAN     — dense DFA scans over the whole corpus (UseDFA/UseBoth)
+  HOST          — PikeVM host fallback (UseNFA analogue)
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import List, Optional
+
+from ..syntax.ast import Node, Op
+from . import literal as litmod
+from .literal import (UNIV_ANY, UNIV_LINE, UNIV_NONE, CharClassShape,
+                      InnerSplit)
+
+
+class Strategy(enum.Enum):
+    CHARCLASS = "charclass"
+    LITERAL = "literal"
+    MULTI_LITERAL = "multi_literal"
+    LINE_SHAPE = "line_shape"
+    INNER = "inner"
+    FULL_SCAN = "full_scan"
+    HOST = "host"
+
+
+@dataclass
+class Plan:
+    strategy: Strategy
+    reason: str
+    literals: Optional[List[bytes]] = None
+    charclass: Optional[CharClassShape] = None
+    split: Optional[InnerSplit] = None
+    nullable: bool = False
+
+
+def select(ast: Node, dfas_ok: bool) -> Plan:
+    nullable = litmod.is_nullable(ast)
+
+    lits = litmod.exact_literals(ast)
+    if lits is not None and all(len(l) > 0 for l in lits):
+        if len(lits) == 1:
+            return Plan(Strategy.LITERAL, "pattern is one exact literal",
+                        literals=lits, nullable=nullable)
+        return Plan(Strategy.MULTI_LITERAL,
+                    f"pattern is {len(lits)} exact literals",
+                    literals=lits, nullable=nullable)
+
+    cc = litmod.charclass_shape(ast)
+    if cc is not None:
+        return Plan(Strategy.CHARCLASS, "single-class repetition",
+                    charclass=cc, nullable=nullable)
+
+    if not dfas_ok:
+        return Plan(Strategy.HOST, "DFA overflow; PikeVM only",
+                    nullable=nullable)
+    if nullable:
+        # batch scans for nullable patterns degenerate (every position is a
+        # match start); the host engine handles them exactly
+        return Plan(Strategy.HOST, "nullable pattern", nullable=True)
+    if litmod.has_start_anchor(ast):
+        return Plan(Strategy.HOST, "start-anchored; host anchored scan",
+                    nullable=nullable)
+
+    split = litmod.inner_split(ast)
+    if split is not None:
+        up, us = split.prefix_universal, split.suffix_universal
+        b_empty = split.suffix_ast.op == Op.EMPTY
+        if split.line_anchored and (b_empty or us != UNIV_NONE):
+            return Plan(Strategy.LINE_SHAPE, "(?m)^prefix.*lit line shape",
+                        split=split, nullable=nullable)
+        if up != UNIV_NONE and (b_empty or us != UNIV_NONE):
+            return Plan(Strategy.LINE_SHAPE, "universal .*lit(.*) shape",
+                        split=split, nullable=nullable)
+        prefix_is_lit_only = split.prefix_ast.op in (Op.LITERAL,) or (
+            litmod.exact_literals(split.prefix_ast) is not None)
+        if us != UNIV_NONE and prefix_is_lit_only:
+            return Plan(Strategy.LINE_SHAPE, "lit.* universal suffix shape",
+                        split=split, nullable=nullable)
+        return Plan(Strategy.INNER,
+                    f"inner literal {split.lit!r} with DFA verification",
+                    split=split, nullable=nullable)
+
+    return Plan(Strategy.FULL_SCAN, "no literals; dense DFA scan",
+                nullable=nullable)
