@@ -1,0 +1,127 @@
+"""Benchmark harness: the reference's headline configs on a 6 MB corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+vs_baseline = geometric mean over configs of (reference_ms / our_ms) using
+the reference's published 6 MB numbers (BASELINE.md; README.md:68-78) —
+values > 1 mean faster than the reference on its own benchmarks.
+Details per config go to stderr.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def build_corpus(size=6 * 1024 * 1024, seed=7) -> bytes:
+    """Log-like corpus: paths, IPs, emails, versions, keywords — modeled on
+    the kolkov/regex-bench style input the reference's README numbers use."""
+    rng = np.random.default_rng(seed)
+    words = [
+        b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy",
+        b"dog", b"lorem", b"ipsum", b"dolor", b"sit", b"amet", b"consec",
+        b"GET", b"POST", b"HTTP/1.1", b"200", b"404", b"useragent",
+        b"alpha", b"beta", b"gamma", b"delta42", b"x86_64", b"warning",
+    ]
+    specials = [
+        b"192.168.1.10", b"10.0.0.255", b"error", b"keyword",
+        b"user@example.com", b"admin@test.org", b"v1.2.3",
+        b"/index.php", b"/home/user/www.php", b"file.txt", b"notes.log",
+    ]
+    lines = []
+    total = 0
+    while total < size:
+        k = int(rng.integers(4, 12))
+        line = []
+        for _ in range(k):
+            if rng.random() < 0.08:
+                line.append(specials[int(rng.integers(len(specials)))])
+            else:
+                line.append(words[int(rng.integers(len(words)))])
+        ln = b" ".join(line) + b"\n"
+        lines.append(ln)
+        total += len(ln)
+    return b"".join(lines)[:size]
+
+
+ALT32 = "|".join(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta",
+     "lambda", "sigma", "omega", "error", "warning", "notice", "debug",
+     "trace", "fatal", "panic", "abort", "retry", "timeout", "refused",
+     "closed", "opened", "created", "deleted", "updated", "inserted",
+     "removed", "flushed", "synced", "loaded", "stored"])
+
+# (name, pattern, reference ms for 6 MB, source)
+CONFIGS = [
+    ("literal_error", r"error", 0.65, "Teddy 9 GB/s, README.md:231"),
+    ("charclass_w", r"[\w]+", 41.9, "README.md:78"),
+    ("ip", r"\d+\.\d+\.\d+\.\d+", 0.77, "README.md:69"),
+    ("alt32", ALT32, 4.69, "README.md:76"),
+    ("inner_keyword", r".*keyword.*", 0.26, "README.md:68"),
+    ("multiline_php", r"(?m)^/.*\.php", 0.38, "README.md:72"),
+    ("suffix_txt", r".*\.txt", 1.79, "README.md:74"),
+]
+
+
+def main():
+    from coregex_tpu.meta.engine import Engine
+
+    corpus = build_corpus()
+    n = len(corpus)
+    arr = np.frombuffer(corpus, dtype=np.uint8)
+    print(f"corpus: {n / 1e6:.1f} MB", file=sys.stderr)
+
+    # correctness spot check on a slice (host engine is the oracle)
+    slice_bytes = corpus[: 200_000]
+    ratios = []
+    gbps_all = []
+    results = {}
+    for name, pattern, ref_ms, src in CONFIGS:
+        eng = Engine.compile(pattern)
+        eng.batch_threshold = 0
+        host = Engine.compile(pattern)
+        host.batch_threshold = 1 << 62
+        c_batch = eng.count(slice_bytes)
+        c_host = host.count(slice_bytes)
+        ok = c_batch == c_host
+        # warmup (jit compile)
+        t0 = time.perf_counter()
+        cnt = eng.count(arr)
+        warm = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.count(arr)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        gbps = n / best / 1e9
+        ratio = (ref_ms / 1e3) / best
+        ratios.append(ratio)
+        gbps_all.append(gbps)
+        results[name] = dict(ms=best * 1e3, gbps=gbps, ref_ms=ref_ms,
+                             vs_ref=ratio, count=cnt,
+                             strategy=eng.strategy, parity=ok)
+        print(f"  {name:16} {best*1e3:8.2f} ms  {gbps:7.2f} GB/s  "
+              f"vs_ref {ratio:6.2f}x  n={cnt}  [{eng.strategy}]"
+              f"  warm={warm:.1f}s  parity={'OK' if ok else 'FAIL'}",
+              file=sys.stderr)
+
+    geomean_gbps = math.exp(sum(math.log(g) for g in gbps_all)
+                            / len(gbps_all))
+    vs_baseline = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    parity = all(r["parity"] for r in results.values())
+    print(json.dumps({
+        "metric": "geomean GB/s over reference headline configs (6MB)"
+                  + ("" if parity else " [PARITY FAIL]"),
+        "value": round(geomean_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
