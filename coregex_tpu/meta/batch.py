@@ -133,17 +133,27 @@ class BatchEngine:
         raise RuntimeError("host strategy should not reach BatchEngine")
 
     def is_match(self, data: np.ndarray) -> bool:
+        import jax
         import jax.numpy as jnp
         n = len(data)
         strat = self.plan.strategy
-        dev = jnp.asarray(data)
         if strat in (Strategy.LITERAL, Strategy.MULTI_LITERAL,
                      Strategy.CHARCLASS, Strategy.LINE_SHAPE,
                      Strategy.INNER):
             return len(self.find_all_spans(data, limit=1)) > 0
-        from ..ops.dfa_scan import ChunkScanner
-        flags, _ = ChunkScanner(self._dense("fwd_all")).scan(dev)
-        return bool(flags.any())
+        from ..dfa.dense import CTX_SOT
+        from ..ops.dfa_scan import ChunkScanner, flags_count
+        dev = jnp.asarray(data)
+        fwd = self._dense("fwd_all")
+        sc = ChunkScanner(fwd)
+        flags, exits, conv, (L, T) = sc.scan_device(dev)
+        if not bool(jax.device_get(conv)):
+            hflags, _ = sc._host_scan(dev, None)
+            return bool(hflags.any())
+        if int(jax.device_get(flags_count(flags))) > 0:
+            return True
+        exit_n = sc._exit_at_n(dev, exits, L, T, n)
+        return bool(fwd.host_eoi[exit_n, CTX_SOT])
 
     def count(self, data: np.ndarray) -> int:
         return len(self.find_all_spans(data))
@@ -279,22 +289,24 @@ class BatchEngine:
         start offsets."""
         import jax
         import jax.numpy as jnp
-        from ..ops.dfa_scan import _window_scan_flags
+        from ..ops.dfa_scan import _bucket, _impl_default, _window_scan_flags
         rp = self._dense("rev_prefix")
         fdev = jnp.flip(dev)
         starts_all: List[np.ndarray] = []
         todo = np.arange(len(cand_end))
         W = 64
         j0 = (n - cand_end).astype(np.int64)  # flipped-coords lane starts
+        impl = _impl_default()
         while len(todo):
-            B = 1 << max(0, (len(todo) - 1)).bit_length()
+            B = _bucket(len(todo), 16)
             sb = np.zeros(B, dtype=np.int32)
             sb[:len(todo)] = j0[todo]
             Wc = min(W, n + 1)
             flags, alive = _window_scan_flags(
-                rp.delta, rp.match_on, rp.match_eoi, rp.starts, rp.classes,
-                fdev, jnp.asarray(sb), jnp.int32(n),
-                jnp.full(B, n, dtype=jnp.int32), B=B, W=Wc)
+                rp.delta, rp.match_on, rp.comb, rp.match_eoi, rp.starts,
+                rp.bounds, fdev, jnp.asarray(sb), jnp.int32(n),
+                jnp.full(B, n, dtype=jnp.int32), B=B, W=Wc,
+                S=rp.num_states, C=rp.num_classes, impl=impl)
             flags = np.asarray(jax.device_get(flags))[:len(todo)]
             alive = np.asarray(jax.device_get(alive))[:len(todo)]
             done = ~alive
@@ -333,18 +345,35 @@ class BatchEngine:
         return go_select(starts[keep], ends[keep], n, data, limit)
 
     # .. full scan ........................................................
-    def _full_scan_spans(self, dev, data, n, limit) -> np.ndarray:
+    def _all_starts(self, dev, n) -> np.ndarray:
+        """All match-start offsets via the reverse all-ends chunk scan,
+        device-reduced to compact positions."""
+        import jax
         import jax.numpy as jnp
-        from ..ops.dfa_scan import ChunkScanner, WindowScanner
+        from ..dfa.dense import CTX_SOT
+        from ..ops.dfa_scan import ChunkScanner, flag_positions
         rev = self._dense("rev_all")
         fdev = jnp.flip(dev)
-        rflags, _ = ChunkScanner(rev).scan(fdev)
+        sc = ChunkScanner(rev)
+        flags, exits, conv, (L, T) = sc.scan_device(fdev)
+        if not bool(jax.device_get(conv)):
+            rflags, _ = sc._host_scan(fdev, None)
+            starts = n - np.flatnonzero(rflags)
+            return np.sort(starts)
         # flag at flipped offset j == match START at forward offset n - j
-        starts = np.sort(n - np.flatnonzero(rflags))
+        jpos = flag_positions(flags, n)
+        starts = n - jpos
+        # flipped EOI (offset n) == match start at forward offset 0
+        exit_n = sc._exit_at_n(fdev, exits, L, T, n)
+        if rev.host_eoi[exit_n, CTX_SOT]:
+            starts = np.append(starts, 0)
+        return np.sort(starts.astype(np.int64))
+
+    def _full_scan_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.dfa_scan import WindowScanner
+        starts = self._all_starts(dev, n)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
-        if len(starts) > MAX_STARTS:
-            starts = starts  # still exact, just big; proceed
         ws = WindowScanner(self._dense("fwd_anch_break"))
         ends = ws.ends_for_starts(dev, starts)
         keep = ends >= 0

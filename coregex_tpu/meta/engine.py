@@ -93,6 +93,7 @@ class Engine:
             self.rev = None
 
         self._batch = None  # lazy TPU execution plan
+        self._onepass = None  # lazy OnePass capture DFA (False == rejected)
         self.batch_threshold = 1 << 14  # below this, host paths win
 
     # -- construction ---------------------------------------------------
@@ -236,16 +237,39 @@ class Engine:
     def subexp_names(self) -> List[str]:
         return self.parsed.subexp_names()
 
+    def _onepass_dfa(self):
+        """Lazy OnePass capture DFA (dfa/onepass analogue); False if the
+        pattern is not one-pass."""
+        if self._onepass is None:
+            from ..dfa.onepass import NotOnePass, build_onepass
+            try:
+                self._onepass = build_onepass(self.nfa)
+            except NotOnePass:
+                self._onepass = False
+        return self._onepass
+
+    def _captures_in_span(self, arr: np.ndarray, text: bytes,
+                          span: Tuple[int, int]):
+        """Phase-2 capture extraction: OnePass table walk when the pattern
+        is one-pass, PikeVM otherwise (meta/findall.go:63-74 dispatch)."""
+        if not self.longest:
+            op = self._onepass_dfa()
+            if op:
+                slots = op.apply(arr, span[0], span[1])
+                if slots is not None:
+                    return tuple(slots)
+        return self.pikevm.search(text, span[0], anchored=True,
+                                  longest=self.longest)
+
     def _submatch_at(self, arr: np.ndarray, pos: int
                      ) -> Optional[List[Optional[Tuple[int, int]]]]:
         """Two-phase submatch (meta/findall.go:49-128 analogue): phase 1
-        span via DFA, phase 2 PikeVM captures anchored at the span start."""
+        span via DFA, phase 2 capture extraction in the span."""
         span = self._find_span_host(arr, pos)
         if span is None:
             return None
         text = bytes(arr.tobytes())
-        m = self.pikevm.search(text, span[0], anchored=True,
-                               longest=self.longest)
+        m = self._captures_in_span(arr, text, span)
         if m is None:  # should not happen; trust the PikeVM
             m = self.pikevm.search(text, pos, longest=self.longest)
             if m is None:
@@ -283,8 +307,7 @@ class Engine:
         text = bytes(arr.tobytes())
         out = []
         for s, e in spans:
-            m = self.pikevm.search(text, s, anchored=True,
-                                   longest=self.longest)
+            m = self._captures_in_span(arr, text, (s, e))
             groups = []
             if m is not None:
                 for i in range(0, len(m), 2):
@@ -315,8 +338,7 @@ class Engine:
         text = bytes(arr.tobytes())
         for s, e in spans:
             out += text[last:s]
-            m = self.pikevm.search(text, s, anchored=True,
-                                   longest=self.longest)
+            m = self._captures_in_span(arr, text, (s, e))
             out += self._expand(repl_b, text, m)
             last = e
         out += text[last:]

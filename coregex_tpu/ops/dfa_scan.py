@@ -2,27 +2,34 @@
 
 The TPU-native re-expression of the reference's hot loop
 (dfa/lazy/lazy.go:602-673: one byte -> one class -> one flat-table gather):
-instead of a branchy per-byte pointer walk, the corpus is split into L
-chunks scanned in parallel lanes, each lane stepping its own DFA state
-through a dense [S, C] transition table.
+the corpus splits into L lanes scanned in parallel, each lane stepping its
+own DFA state through a dense transition table.
 
-Exactness across chunk boundaries uses *warmup-guess + fixpoint repair*:
-every lane first scans a W-byte warmup overlap from a guessed restart state;
-lane i's scan is provably exact iff its state at the chunk start equals lane
-i-1's claimed exit state, checked transitively from lane 0 (whose entry is
-the true start).  Mismatched lanes are rescanned from corrected entries
-until the chain fixes — typically zero repair rounds, with a hard cap and
-sequential fallback for adversarial patterns.
+TPU-shaped design decisions (measured on v5e through the axon relay):
+  * dynamic gather is ~0.05 GB/s on TPU; the transition step instead uses a
+    gather-free one-hot formulation — onehot(state) @ [delta|match] on the
+    MXU + a class-onehot select on the VPU — ~8+ GB/s per pass;
+  * byte -> class mapping is gather-free: tables are expanded to byte
+    *segments* (contiguous byte ranges) on host, and segment ids come from
+    jnp.searchsorted over the ≤255 segment boundaries;
+  * launch round-trips cost ~28 ms, so boundary-stitching repair runs
+    *inside* the jit (bounded lax.while_loop) and all reductions
+    (counts, flag positions) happen on device; only compact results move
+    to host.
 
-Two step implementations:
-  * "gather":  next = delta_flat[state * C + class]  (XLA gather)
-  * "onehot":  next = sum_s onehot(state)_s * (onehot(class) @ delta.T)_s —
-               MXU matmul + VPU select, no gathers (TPU-friendly).
+Exactness across chunk boundaries uses warmup-guess + fixpoint repair:
+every lane first scans a W-byte warmup overlap from a guessed restart
+state; lane i's scan is provably exact iff its state at the chunk start
+equals lane i-1's claimed exit state, checked transitively from lane 0
+(whose entry is the true start).  Mismatched lanes rescan from corrected
+entries until the chain fixes (typically zero rounds); a `converged` flag
+reports failure and the caller falls back to the host scan.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -33,35 +40,93 @@ import numpy as np
 from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_SOT, CTX_WORD, DEAD, DenseDFA
 
 
+def _impl_default() -> str:
+    env = os.environ.get("COREGEX_TPU_IMPL")
+    if env in ("onehot", "gather"):
+        return env
+    return "gather" if jax.default_backend() == "cpu" else "onehot"
+
+
+def _bucket(x: int, lo: int = 8) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
 # ---------------------------------------------------------------------------
 # Device-resident DFA tables
 # ---------------------------------------------------------------------------
 
 @dataclass
 class DeviceDFA:
-    """DFA tables uploaded once per pattern (jnp arrays)."""
-    delta: jnp.ndarray        # [S, C] int32
+    """DFA tables uploaded once per pattern (jnp arrays).
+
+    Tables are *segment-expanded* (columns indexed by contiguous byte
+    segments, not merged equivalence classes) so the byte -> column map is
+    a searchsorted over boundaries instead of a device gather, and padded
+    to power-of-two buckets so different patterns share jitted kernels.
+    """
+    delta: jnp.ndarray        # [S, C] int32 (segment columns)
     match_on: jnp.ndarray     # [S, C] bool
+    comb: jnp.ndarray         # [S, 2C] float32: [delta | match] (onehot path)
     match_eoi: jnp.ndarray    # [S, 4] bool
     starts: jnp.ndarray       # [4] int32
-    classes: jnp.ndarray      # [256] int32
-    num_states: int
-    num_classes: int
+    bounds: jnp.ndarray       # [NB] int32 segment boundaries (sorted)
+    classes: jnp.ndarray      # [256] int32 byte -> segment column (for
+    #                           gather-based consumers, e.g. CPU shard path)
+    num_states: int           # padded S
+    num_classes: int          # padded C (segments)
+    host_eoi: np.ndarray      # [S, 4] host copy (cheap EOI checks)
+    host_starts: np.ndarray   # [4]
 
     @classmethod
     def from_dense(cls, dfa: DenseDFA) -> "DeviceDFA":
+        S, C0 = dfa.delta.shape
+        classes = dfa.classes  # [256]
+        # segment boundaries: bytes where the class id changes
+        bounds = [b for b in range(1, 256) if classes[b] != classes[b - 1]]
+        nseg = len(bounds) + 1
+        # segment -> class map, then expand tables to segment columns
+        seg_cls = np.empty(nseg, dtype=np.int64)
+        seg_starts = [0] + bounds
+        for i, b in enumerate(seg_starts):
+            seg_cls[i] = classes[b]
+        SP, CP = _bucket(S), _bucket(nseg, 4)
+        delta = np.zeros((SP, CP), dtype=np.int32)
+        match = np.zeros((SP, CP), dtype=bool)
+        delta[:S, :nseg] = dfa.delta[:, seg_cls]
+        match[:S, :nseg] = dfa.match_on[:, seg_cls]
+        comb = np.concatenate(
+            [delta.astype(np.float32), match.astype(np.float32)], axis=1)
+        match_eoi = np.zeros((SP, 4), dtype=bool)
+        match_eoi[:S] = dfa.match_eoi
+        # pad boundary array to a shared bucket so searchsorted shapes match
+        NB = _bucket(max(len(bounds), 1), 4)
+        bpad = np.full(NB, 256, dtype=np.int32)
+        bpad[:len(bounds)] = bounds
+        seg_of_byte = np.searchsorted(bpad, np.arange(256), side="right")
         return cls(
-            delta=jnp.asarray(dfa.delta, dtype=jnp.int32),
-            match_on=jnp.asarray(dfa.match_on),
-            match_eoi=jnp.asarray(dfa.match_eoi),
+            delta=jnp.asarray(delta),
+            match_on=jnp.asarray(match),
+            comb=jnp.asarray(comb),
+            match_eoi=jnp.asarray(match_eoi),
             starts=jnp.asarray(dfa.starts, dtype=jnp.int32),
-            classes=jnp.asarray(dfa.classes, dtype=jnp.int32),
-            num_states=dfa.num_states,
-            num_classes=dfa.num_classes,
+            bounds=jnp.asarray(bpad),
+            classes=jnp.asarray(seg_of_byte.astype(np.int32)),
+            num_states=SP,
+            num_classes=CP,
+            host_eoi=np.asarray(dfa.match_eoi),
+            host_starts=np.asarray(dfa.starts),
         )
 
+    def classes_of(self, data: jnp.ndarray) -> jnp.ndarray:
+        """Gather-free byte -> segment-column map."""
+        return jnp.searchsorted(self.bounds, data.astype(jnp.int32),
+                                side="right").astype(jnp.int32)
 
-def byte_context(classes_unused, data: jnp.ndarray) -> jnp.ndarray:
+
+def byte_context(data: jnp.ndarray) -> jnp.ndarray:
     """Context index (CTX_*) of each byte, vectorized (for start states)."""
     is_word = ((data >= 48) & (data <= 57)) | ((data >= 65) & (data <= 90)) \
         | (data == 95) | ((data >= 97) & (data <= 122))
@@ -69,249 +134,307 @@ def byte_context(classes_unused, data: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_word, CTX_WORD, jnp.where(is_nl, CTX_NL, CTX_OTHER))
 
 
+def start_states_for(ddfa: DeviceDFA, data: jnp.ndarray,
+                     starts: jnp.ndarray) -> jnp.ndarray:
+    """Start state per lane given each lane's start offset (gather-free
+    4-way select over the context start table)."""
+    prev_b = data[jnp.maximum(starts - 1, 0)]
+    ctx = byte_context(prev_b)
+    ctx = jnp.where(starts == 0, CTX_SOT, ctx)
+    tbl = ddfa.starts
+    return jnp.where(
+        ctx == CTX_SOT, tbl[CTX_SOT],
+        jnp.where(ctx == CTX_WORD, tbl[CTX_WORD],
+                  jnp.where(ctx == CTX_NL, tbl[CTX_NL], tbl[CTX_OTHER])))
+
+
 # ---------------------------------------------------------------------------
-# Chunked full-corpus scan
+# Transition step implementations
 # ---------------------------------------------------------------------------
 
-def _plan_geometry(n: int, target_chunk: int = 4096, max_lanes: int = 4096,
+def make_step(ddfa_shapes: Tuple[int, int], impl: str):
+    """step(tables, s [L], c [L]) -> (next [L], flag [L] bool)."""
+    S, C = ddfa_shapes
+    iota_S = None
+    iota_C = None
+
+    if impl == "gather":
+        def step(tables, s, c):
+            delta, match_on, comb = tables
+            return delta[s, c], match_on[s, c]
+        return step
+
+    def step(tables, s, c):
+        delta, match_on, comb = tables
+        oh_s = (s[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1)).astype(jnp.float32)           # [L, S]
+        rows = jnp.dot(oh_s, comb,
+                       preferred_element_type=jnp.float32)       # [L, 2C]
+        oh_c = (c[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, C), 1))                               # [L, C]
+        nxt = jnp.sum(jnp.where(oh_c, rows[:, :C], 0.0),
+                      axis=1).astype(jnp.int32)
+        flg = jnp.sum(jnp.where(oh_c, rows[:, C:], 0.0), axis=1) > 0.5
+        return nxt, flg
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Chunked full-corpus scan (single fused jit incl. boundary repair)
+# ---------------------------------------------------------------------------
+
+def _plan_geometry(n: int, target_chunk: int = 1024, max_lanes: int = 65536,
                    warmup: int = 64) -> Tuple[int, int, int]:
-    """Choose (lanes L, chunk T, warmup W); L*T >= n, shapes bucketed to
-    limit recompiles."""
-    if n <= target_chunk:
+    if n <= 2 * target_chunk:
         return 1, max(n, 1), 0
     lanes = min(max_lanes, max(1, -(-n // target_chunk)))
-    # round lanes to power of two for stable jit shapes
     lanes = 1 << (lanes - 1).bit_length()
     lanes = min(lanes, max_lanes)
     T = -(-n // lanes)
-    return lanes, T, warmup
+    W = min(warmup, max(T // 2, 1))
+    return lanes, T, W
 
 
-@functools.partial(jax.jit, static_argnames=("L", "T", "W", "n_steps"))
-def _chunk_scan(delta_flat, match_flat, cls_chunks, entries, start_offsets,
-                marks, L: int, T: int, W: int, n_steps: int):
-    """Scan L lanes over [L, W+T] class arrays.
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "W", "S", "C", "impl", "max_repair"))
+def _chunk_scan_full(delta, match_on, comb, starts_tbl, bounds, data,
+                     sot_start, L: int, T: int, W: int, S: int, C: int,
+                     impl: str, max_repair: int):
+    """Full-corpus scan, all inside one jit: class mapping, warmup scan,
+    in-jit fixpoint repair, flag matrix.  Returns
+    (flags [L, T] bool (chunk region only), exits [L], converged bool)."""
+    n_steps = W + T
+    tables = (delta, match_on, comb)
+    step = make_step((S, C), impl)
 
-    entries: [L] entry states (applied at local position start_offsets[i])
-    start_offsets: [L] local position where the lane becomes live
-    marks: [L] local position whose state to capture (exit/EOI state)
-    Returns (flags [L, W+T] bool, exits [L] int32).
-    """
-    C = match_flat.shape[0] // delta_flat.shape[0] if False else None
-    num_classes = delta_flat.shape[1]
+    cls_all = jnp.searchsorted(bounds, data.astype(jnp.int32),
+                               side="right").astype(jnp.int32)
+    pad = L * T - data.shape[0]
+    cls_pad = jnp.pad(cls_all, (0, pad))
+    chunks = cls_pad.reshape(L, T)
+    if W > 0:
+        warm = jnp.roll(chunks, 1, axis=0)[:, T - W:]
+        xs = jnp.concatenate([warm, chunks], axis=1)
+    else:
+        xs = chunks
+    xs_T = xs.T  # [n_steps, L]
 
-    def step(carry, xs):
-        state, captured, t = carry
-        c = xs  # [L]
-        live = t >= start_offsets
-        st = jnp.where(live, state, entries)
-        flag = match_flat[st, c] & live
-        nxt = delta_flat[st, c]
-        new_state = jnp.where(live, nxt, state)
-        captured = jnp.where(t == marks, st, captured)
-        # capture exit AFTER the step when mark == t+1 handled next iter via
-        # the st value; final capture below handles mark == n_steps.
-        return (new_state, captured, t + 1), flag
+    # guessed entries from warmup-preceding byte context
+    starts_off = jnp.arange(L, dtype=jnp.int32) * T
+    guess_pos = starts_off - W  # first warmup byte; context byte is -1 more
+    guessed = start_states_for(
+        DeviceDFAView(starts_tbl), data, jnp.maximum(guess_pos, 0))
+    guessed = jnp.where(guess_pos <= 0, sot_start, guessed)
+    entries0 = guessed.at[0].set(sot_start)
+    offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
 
-    init_state = entries
-    init_cap = jnp.full((L,), DEAD, dtype=jnp.int32)
-    (fin_state, captured, _), flags = jax.lax.scan(
-        step, (init_state, init_cap, jnp.int32(0)),
-        cls_chunks.T, length=n_steps, unroll=4)
-    captured = jnp.where(marks == n_steps, fin_state, captured)
-    return flags.T, captured
+    def scan_once(entries, offsets):
+        def body(carry, xc):
+            s, t = carry
+            c = xc
+            live = t >= offsets
+            nxt, flg = step(tables, s, c)
+            new_s = jnp.where(live, nxt, s)
+            return (new_s, t + 1), flg & live
+        (fin, _), flags = jax.lax.scan(
+            body, (entries, jnp.int32(0)), xs_T, unroll=8)
+        return fin, flags
+
+    exits0, flags0 = scan_once(entries0, offsets0)
+
+    def want_of(exits):
+        return jnp.concatenate([jnp.array([1], jnp.int32) * sot_start,
+                                exits[:-1]])
+
+    def cond(state):
+        k, entries, exits, flags = state
+        return (k < max_repair) & jnp.any(want_of(exits) != entries)
+
+    def rep(state):
+        k, entries, exits, flags = state
+        new_entries = want_of(exits)
+        offs = jnp.full((L,), W, jnp.int32)
+        new_exits, new_flags = scan_once(new_entries, offs)
+        return (k + 1, new_entries, new_exits, new_flags)
+
+    k, entries, exits, flags = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), entries0, exits0, flags0))
+    converged = ~jnp.any(want_of(exits) != entries)
+    return flags[W:, :].T, exits, converged
 
 
 class ChunkScanner:
-    """Full-corpus match-flag scan with exact boundary stitching."""
+    """Full-corpus match-flag scan with exact boundary stitching.
 
-    def __init__(self, ddfa: DeviceDFA, max_repair: int = 4):
+    `scan_device` keeps everything on device; `scan` is the host-facing
+    wrapper used by tests and small inputs.
+    """
+
+    def __init__(self, ddfa: DeviceDFA, max_repair: int = 4,
+                 impl: Optional[str] = None):
         self.d = ddfa
         self.max_repair = max_repair
+        self.impl = impl or _impl_default()
+
+    def scan_device(self, data: jnp.ndarray,
+                    sot_start: Optional[int] = None):
+        """Returns (flags_dev [L, T] bool, exits_dev [L], converged_dev,
+        geometry (L, T)).  flags_dev[lane, t] == match end at offset
+        lane*T + t (offsets >= n are padding and always False)."""
+        d = self.d
+        n = int(data.shape[0])
+        L, T, W = _plan_geometry(n)
+        sot = (d.starts[CTX_SOT] if sot_start is None
+               else jnp.int32(sot_start))
+        flags, exits, conv = _chunk_scan_full(
+            d.delta, d.match_on, d.comb, d.starts, d.bounds, data,
+            sot, L=L, T=T, W=W, S=d.num_states, C=d.num_classes,
+            impl=self.impl, max_repair=self.max_repair)
+        return flags, exits, conv, (L, T)
 
     def scan(self, data: jnp.ndarray, sot_start: Optional[int] = None
              ) -> Tuple[np.ndarray, int]:
-        """Return (flags bool [n+1], exit_state_at_n).
-
-        flags[p] == "a match ends at offset p" (the host scan_all_ends
-        contract).  The DFA should be non-dying (break_at_match off) for
-        full-corpus semantics; dying DFAs still stitch correctly because
-        DEAD is absorbing.
-        """
+        """Host-facing: (flags bool [n+1], exit_state_at_n)."""
         d = self.d
         n = int(data.shape[0])
         if n == 0:
-            s0 = int(jax.device_get(d.starts)[CTX_SOT])
-            eoi = bool(jax.device_get(d.match_eoi)[s0, CTX_SOT])
-            return np.array([eoi]), s0
-
-        L, T, W = _plan_geometry(n)
-        pad = L * T - n
-        cls_all = d.classes[data]
-        cls_pad = jnp.pad(cls_all, (0, pad))
-        chunks = cls_pad.reshape(L, T)
-        if W > 0:
-            warm = jnp.roll(chunks, 1, axis=0)[:, T - W:]
-            xs = jnp.concatenate([warm, chunks], axis=1)  # [L, W+T]
-        else:
-            xs = chunks
-        n_steps = W + T
-
-        # contexts of the byte preceding each warmup region
-        starts_np = np.arange(L) * T
-        ctx_pos = starts_np - W - 1
-        data_np = None
-        # compute guessed entry states: start table indexed by byte context
-        prev_idx = jnp.asarray(np.maximum(ctx_pos, 0), dtype=jnp.int32)
-        prev_bytes = data[prev_idx]
-        ctxs = byte_context(None, prev_bytes)
-        ctxs = jnp.where(jnp.asarray(ctx_pos) < 0, CTX_SOT, ctxs)
-        guessed = d.starts[ctxs]
-        sot = jnp.int32(d.starts[CTX_SOT] if sot_start is None
-                        else sot_start)
-        entries = guessed.at[0].set(sot)
-
-        start_offsets = jnp.full((L,), 0, dtype=jnp.int32).at[0].set(W)
-        # mark: local position of the true chunk end (for exit capture);
-        # last lane's true end is n
-        ends_local = np.minimum((starts_np + T), n) - starts_np + W
-        marks = jnp.asarray(ends_local, dtype=jnp.int32)
-
-        delta_flat = self.d.delta
-        match_flat = self.d.match_on
-
-        flags, exits = _chunk_scan(delta_flat, match_flat, xs, entries,
-                                   start_offsets, marks, L=L, T=T, W=W,
-                                   n_steps=n_steps)
-        used = entries
-        # fixpoint repair: lane i's entry must equal lane i-1's exit
-        for _ in range(self.max_repair):
-            want = jnp.concatenate([jnp.array([sot], dtype=jnp.int32),
-                                    exits[:-1]])
-            bad = bool(jax.device_get(jnp.any(want != used)))
-            if not bad:
-                break
-            used = want
-            so = jnp.full((L,), W, dtype=jnp.int32)
-            flags, exits = _chunk_scan(delta_flat, match_flat, xs, used,
-                                       so, marks, L=L, T=T, W=W,
-                                       n_steps=n_steps)
-        else:
-            # sequential exact fallback: host scan (rare, adversarial)
+            s0 = (int(d.host_starts[CTX_SOT]) if sot_start is None
+                  else sot_start)
+            return np.array([bool(d.host_eoi[s0, CTX_SOT])]), s0
+        flags, exits, conv, (L, T) = self.scan_device(data, sot_start)
+        conv_h = bool(jax.device_get(conv))
+        if not conv_h:
             return self._host_scan(data, sot_start)
-
-        body = np.asarray(jax.device_get(flags))[:, W:]
+        body = np.asarray(jax.device_get(flags))
         out = np.zeros(n + 1, dtype=bool)
         out[:n] = body.reshape(-1)[:n]
-        exit_state = int(jax.device_get(exits)[-1])
-        eoi_row = np.asarray(jax.device_get(self.d.match_eoi))
-        out[n] = bool(eoi_row[exit_state, CTX_SOT])
+        # exit state at n lives in the lane containing offset n-1; padding
+        # beyond n advances the state, so recompute the tail on host
+        exit_state = self._exit_at_n(data, exits, L, T, n)
+        out[n] = bool(d.host_eoi[exit_state, CTX_SOT])
         return out, exit_state
+
+    def _exit_at_n(self, data, exits, L, T, n) -> int:
+        """True state at offset n: replay the last partial chunk on host."""
+        d = self.d
+        last_full = n // T  # lane index containing offset n (or L)
+        if n % T == 0:
+            idx = min(last_full, L) - 1
+            return int(jax.device_get(exits[idx])) if idx >= 0 else \
+                int(jax.device_get(exits[0]))
+        # entry of the partial lane = exit of previous lane
+        prev = int(jax.device_get(exits[last_full - 1])) if last_full > 0 \
+            else None
+        delta = np.asarray(jax.device_get(d.delta))
+        bounds = np.asarray(jax.device_get(d.bounds))
+        tail = np.asarray(jax.device_get(data[last_full * T:n]))
+        s = prev if prev is not None else int(d.host_starts[CTX_SOT])
+        cls = np.searchsorted(bounds, tail.astype(np.int32), side="right")
+        for c in cls:
+            s = delta[s, c]
+        return int(s)
 
     def _host_scan(self, data: jnp.ndarray, sot_start: Optional[int]):
         d = self.d
-        dense = DenseDFA(
-            delta=np.asarray(jax.device_get(d.delta)),
-            match_on=np.asarray(jax.device_get(d.match_on)),
-            match_eoi=np.asarray(jax.device_get(d.match_eoi)),
-            starts=np.asarray(jax.device_get(d.starts)),
-            classes=np.asarray(jax.device_get(d.classes)),
-            anchored=False, break_at_match=False)
         arr = np.asarray(jax.device_get(data), dtype=np.uint8)
-        flags = dense.scan_all_ends(arr, start_state=sot_start)
-        # recompute exit state for API parity
-        s = (int(dense.starts[CTX_SOT]) if sot_start is None else sot_start)
-        for b in arr:
-            s = dense.delta[s, dense.classes[b]]
-        return flags, int(s)
+        delta = np.asarray(jax.device_get(d.delta))
+        match = np.asarray(jax.device_get(d.match_on))
+        bounds = np.asarray(jax.device_get(d.bounds))
+        s = (int(d.host_starts[CTX_SOT]) if sot_start is None else sot_start)
+        cls = np.searchsorted(bounds, arr.astype(np.int32), side="right")
+        n = len(arr)
+        out = np.zeros(n + 1, dtype=bool)
+        for p in range(n):
+            c = cls[p]
+            out[p] = match[s, c]
+            s = delta[s, c]
+        out[n] = bool(d.host_eoi[s, CTX_SOT])
+        return out, int(s)
+
+
+class DeviceDFAView:
+    """Minimal view so start_states_for can work from a bare start table."""
+
+    def __init__(self, starts):
+        self.starts = starts
+
+
+# ---------------------------------------------------------------------------
+# Device-side flag reductions
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def flags_count(flags: jnp.ndarray) -> jnp.ndarray:
+    return flags.sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _flags_positions(flags: jnp.ndarray, n: int, cap: int):
+    flat = flags.reshape(-1)[:]
+    idx = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])[0]
+    return idx
+
+
+def flag_positions(flags_dev: jnp.ndarray, n: int) -> np.ndarray:
+    """Compact device->host extraction of set flag offsets (< n)."""
+    cnt = int(jax.device_get(flags_count(flags_dev)))
+    if cnt == 0:
+        return np.empty(0, dtype=np.int64)
+    cap = _bucket(cnt, 16)
+    idx = np.asarray(jax.device_get(
+        _flags_positions(flags_dev, n, cap)))[:cnt]
+    return idx[idx < n].astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
 # Batched anchored window scan (candidate verification)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("B", "W"))
-def _window_scan(delta, match_on, match_eoi, starts_tbl, classes, data,
-                 starts, n, B: int, W: int):
+@functools.partial(jax.jit,
+                   static_argnames=("B", "W", "S", "C", "impl"))
+def _window_scan(delta, match_on, comb, match_eoi, starts_tbl, bounds, data,
+                 starts, n, B: int, W: int, S: int, C: int, impl: str):
     """Anchored scan of W bytes from each of B start offsets.
 
     Returns (last_end [B] int32 global end offset or -1,
-             alive [B] bool — state still live at window end inside text).
-    """
-    # entry contexts from the byte before each start
-    prev_idx = jnp.maximum(starts - 1, 0)
-    prev_b = data[prev_idx]
-    ctxs = byte_context(None, prev_b)
-    ctxs = jnp.where(starts == 0, CTX_SOT, ctxs)
-    state = starts_tbl[ctxs]
+             alive [B] bool — state still live at window end inside text)."""
+    tables = (delta, match_on, comb)
+    step = make_step((S, C), impl)
+    state = start_states_for(DeviceDFAView(starts_tbl), data, starts)
 
-    idx = starts[:, None] + jnp.arange(W)[None, :]          # [B, W]
+    idx = starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     in_text = idx < n
     bytes_w = data[jnp.minimum(idx, n - 1)]
-    cls_w = classes[bytes_w]                                 # [B, W]
+    cls_w = jnp.searchsorted(bounds, bytes_w.astype(jnp.int32),
+                             side="right").astype(jnp.int32)
 
-    def step(carry, xs):
+    eoi_sot = match_eoi[:, CTX_SOT]
+
+    def body(carry, xc):
         st, last = carry
-        c, valid, pos = xs  # [B]
+        c, valid, pos = xc
+        nxt, flg = step(tables, st, c)
         at_eoi = ~valid & (pos == n) & (st != DEAD)
-        eoi_flag = match_eoi[st, CTX_SOT] & at_eoi
-        flag = match_on[st, c] & valid
-        last = jnp.where(flag | eoi_flag, pos, last)
-        nxt = jnp.where(valid, delta[st, c], DEAD)
+        # EOI flag via one-hot over states (gather-free)
+        oh = st[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        eoi_flag = jnp.sum(jnp.where(oh, eoi_sot[None, :], False),
+                           axis=1) & at_eoi
+        flag = (flg & valid) | eoi_flag
+        last = jnp.where(flag, pos, last)
+        nxt = jnp.where(valid, nxt, DEAD)
         return (nxt, last), None
 
-    pos_grid = idx.T                                         # [W, B]
     (fin_state, last), _ = jax.lax.scan(
-        step, (state, jnp.full((B,), -1, dtype=jnp.int32)),
-        (cls_w.T, in_text.T, pos_grid), length=W)
-    # EOI exactly at window end
+        body, (state, jnp.full((B,), -1, jnp.int32)),
+        (cls_w.T, in_text.T, idx.T), unroll=4)
     end_pos = starts + W
+    oh = fin_state[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    eoi_fin = jnp.sum(jnp.where(oh, eoi_sot[None, :], False), axis=1)
     at_eoi_end = (end_pos == n) & (fin_state != DEAD)
-    eoi_flag = match_eoi[fin_state, CTX_SOT] & at_eoi_end
-    last = jnp.where(eoi_flag, end_pos, last)
+    last = jnp.where(eoi_fin & at_eoi_end, end_pos, last)
     alive = (fin_state != DEAD) & (end_pos < n)
     return last, alive
-
-
-@functools.partial(jax.jit, static_argnames=("B", "W"))
-def _window_scan_flags(delta, match_on, match_eoi, starts_tbl, classes, data,
-                       starts, n, edge_limit, B: int, W: int):
-    """Like _window_scan but returns the full per-position flag bitmap
-    [B, W+1] (flag[t] == match end at starts+t; column W == flag exactly at
-    window edge) plus alive.  `edge_limit` bounds the scan per lane: the
-    lane is cut at global position edge_limit[b] with the window-edge
-    context taken from the byte at that position (bounded reverse scans)."""
-    prev_idx = jnp.maximum(starts - 1, 0)
-    prev_b = data[prev_idx]
-    ctxs = byte_context(None, prev_b)
-    ctxs = jnp.where(starts == 0, CTX_SOT, ctxs)
-    state = starts_tbl[ctxs]
-
-    idx = starts[:, None] + jnp.arange(W)[None, :]
-    valid = (idx < n) & (idx < edge_limit[:, None])
-    bytes_w = data[jnp.minimum(idx, n - 1)]
-    cls_w = classes[bytes_w]
-
-    # context at each lane's cut position (for edge flags)
-    cut = jnp.minimum(edge_limit, n)
-    cut_b = data[jnp.minimum(cut, n - 1)]
-    cut_ctx = jnp.where(cut >= n, CTX_SOT, byte_context(None, cut_b))
-
-    def step(carry, xs):
-        st = carry
-        c, v, pos = xs
-        at_cut = ~v & (pos == cut) & (st != DEAD)
-        flag = (match_on[st, c] & v) | (match_eoi[st, cut_ctx] & at_cut)
-        nxt = jnp.where(v, delta[st, c], DEAD)
-        return nxt, flag
-
-    (fin_state), flags = jax.lax.scan(
-        step, state, (cls_w.T, valid.T, idx.T), length=W)
-    end_pos = starts + W
-    at_cut_end = (end_pos == cut) & (fin_state != DEAD)
-    edge_flag = match_eoi[fin_state, cut_ctx] & at_cut_end
-    alive = (fin_state != DEAD) & (end_pos < cut)
-    return jnp.concatenate([flags.T, edge_flag[:, None]], axis=1), alive
 
 
 class WindowScanner:
@@ -319,15 +442,14 @@ class WindowScanner:
     (anchored_last_end analogue), with geometric window escalation."""
 
     def __init__(self, ddfa: DeviceDFA, init_window: int = 64,
-                 max_window: int = 1 << 22):
+                 max_window: int = 1 << 22, impl: Optional[str] = None):
         self.d = ddfa
         self.init_window = init_window
         self.max_window = max_window
+        self.impl = impl or _impl_default()
 
     def ends_for_starts(self, data: jnp.ndarray, starts: np.ndarray
                         ) -> np.ndarray:
-        """For each start offset, the leftmost-first anchored match end
-        (global offset) or -1."""
         n = int(data.shape[0])
         if len(starts) == 0:
             return np.empty(0, dtype=np.int64)
@@ -337,12 +459,14 @@ class WindowScanner:
         W = self.init_window
         cur_starts = np.asarray(starts, dtype=np.int64)
         while len(todo):
-            B = 1 << max(0, (len(todo) - 1)).bit_length()
+            B = _bucket(len(todo), 16)
             sb = np.zeros(B, dtype=np.int32)
             sb[:len(todo)] = cur_starts[todo]
             last, alive = _window_scan(
-                d.delta, d.match_on, d.match_eoi, d.starts, d.classes,
-                data, jnp.asarray(sb), jnp.int32(n), B=B, W=min(W, n + 1))
+                d.delta, d.match_on, d.comb, d.match_eoi, d.starts,
+                d.bounds, data, jnp.asarray(sb), jnp.int32(n),
+                B=B, W=min(W, n + 1), S=d.num_states, C=d.num_classes,
+                impl=self.impl)
             last = np.asarray(jax.device_get(last))[:len(todo)]
             alive = np.asarray(jax.device_get(alive))[:len(todo)]
             ends[todo] = last
@@ -350,3 +474,58 @@ class WindowScanner:
             todo = todo[still]
             W *= 4
         return ends
+
+
+# ---------------------------------------------------------------------------
+# Flag-bitmap window scan (reverse start discovery)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "W", "S", "C", "impl"))
+def _window_scan_flags(delta, match_on, comb, match_eoi, starts_tbl, bounds,
+                       data, starts, n, edge_limit,
+                       B: int, W: int, S: int, C: int, impl: str):
+    """Like _window_scan but returns the full per-position flag bitmap
+    [B, W+1] plus alive.  edge_limit bounds each lane (window-edge context
+    from the byte at that position)."""
+    tables = (delta, match_on, comb)
+    step = make_step((S, C), impl)
+    state = start_states_for(DeviceDFAView(starts_tbl), data, starts)
+
+    idx = starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = (idx < n) & (idx < edge_limit[:, None])
+    bytes_w = data[jnp.minimum(idx, n - 1)]
+    cls_w = jnp.searchsorted(bounds, bytes_w.astype(jnp.int32),
+                             side="right").astype(jnp.int32)
+
+    cut = jnp.minimum(edge_limit, n)
+    cut_b = data[jnp.minimum(cut, n - 1)]
+    cut_ctx = jnp.where(cut >= n, CTX_SOT, byte_context(cut_b))
+    # per-lane EOI row, context pre-selected per lane (gather-free)
+    eoi_f = match_eoi.astype(jnp.float32)                        # [S, 4]
+    ctx_oh = (cut_ctx[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 4), 1)).astype(jnp.float32)               # [B, 4]
+    eoi_rows = jnp.dot(ctx_oh, eoi_f.T,
+                       preferred_element_type=jnp.float32)       # [B, S]
+
+    def eoi_of(st):
+        oh = (st[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1))
+        return jnp.sum(jnp.where(oh, eoi_rows, 0.0), axis=1) > 0.5
+
+    def body(carry, xc):
+        st = carry
+        c, v, pos = xc
+        nxt, flg = step(tables, st, c)
+        at_cut = ~v & (pos == cut) & (st != DEAD)
+        flag = (flg & v) | (eoi_of(st) & at_cut)
+        nxt = jnp.where(v, nxt, DEAD)
+        return nxt, flag
+
+    fin_state, flags = jax.lax.scan(
+        body, state, (cls_w.T, valid.T, idx.T), unroll=4)
+    end_pos = starts + W
+    at_cut_end = (end_pos == cut) & (fin_state != DEAD)
+    edge_flag = eoi_of(fin_state) & at_cut_end
+    alive = (fin_state != DEAD) & (end_pos < cut)
+    return jnp.concatenate([flags.T, edge_flag[:, None]], axis=1), alive
