@@ -156,6 +156,32 @@ class BatchEngine:
         return bool(fwd.host_eoi[exit_n, CTX_SOT])
 
     def count(self, data: np.ndarray) -> int:
+        """Match count with device-side fast paths (Count,
+        meta/findall.go:297 analogue): most strategies reduce to one or two
+        scalar syncs without materializing spans."""
+        import jax
+        import jax.numpy as jnp
+        strat = self.plan.strategy
+        dev = jnp.asarray(data)
+        if strat == Strategy.CHARCLASS:
+            from ..ops.bytescan import class_run_count
+            cc = self.plan.charclass
+            return class_run_count(dev, np.array(cc.table, dtype=bool),
+                                   cc.min, cc.max)
+        if strat == Strategy.LITERAL:
+            from ..ops.bytescan import literal_self_overlaps, memmem_count
+            lit = self.plan.literals[0]
+            if not literal_self_overlaps(lit):
+                return memmem_count(dev, lit)
+        if strat == Strategy.MULTI_LITERAL:
+            from ..ops.bytescan import (_multi_literal_scan,
+                                        _multi_nonoverlap_count)
+            lits = tuple(tuple(l) for l in self.plan.literals)
+            best, blen = _multi_literal_scan(dev, lits)
+            cnt, overlap = jax.device_get(
+                _multi_nonoverlap_count(best, blen))
+            if not bool(overlap):
+                return int(cnt)
         return len(self.find_all_spans(data))
 
     # -- strategy executors ---------------------------------------------

@@ -223,7 +223,11 @@ class Engine:
 
     def count(self, data: Bytes) -> int:
         """Number of non-overlapping matches (meta/findall.go:297 Count)."""
-        return len(self._all_spans(_as_array(data)))
+        arr = _as_array(data)
+        if self._use_batch(arr):
+            self.stats.kernel_scans += 1
+            return self.batch_engine().count(arr)
+        return len(self._all_spans(arr))
 
     def finditer(self, data: Bytes) -> Iterator[Tuple[int, int]]:
         """Iterator over spans (regex.go:1485 AllIndex analogue)."""

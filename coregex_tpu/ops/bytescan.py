@@ -17,6 +17,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bucket(x: int, lo: int = 16) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+@jax.jit
+def mask_count(mask: jnp.ndarray) -> jnp.ndarray:
+    return mask.sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _mask_nonzero(mask: jnp.ndarray, cap: int):
+    return jnp.nonzero(mask, size=cap, fill_value=mask.shape[0])[0]
+
+
+def mask_positions(mask: jnp.ndarray) -> np.ndarray:
+    """Compact device->host extraction of set positions (device-side count
+    + bucketed nonzero; avoids full-mask transfers, which cost ~30 MB/s
+    through the device runtime)."""
+    cnt = int(jax.device_get(mask_count(mask)))
+    if cnt == 0:
+        return np.empty(0, dtype=np.int64)
+    cap = _bucket(cnt)
+    idx = np.asarray(jax.device_get(_mask_nonzero(mask, cap)))[:cnt]
+    return idx.astype(np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=("byte",))
 def _memchr_mask(data: jnp.ndarray, byte: int) -> jnp.ndarray:
     return data == np.uint8(byte)
@@ -24,7 +53,7 @@ def _memchr_mask(data: jnp.ndarray, byte: int) -> jnp.ndarray:
 
 def memchr(data: jnp.ndarray, byte: int) -> np.ndarray:
     """All positions of `byte` (simd.Memchr analogue)."""
-    return np.flatnonzero(np.asarray(jax.device_get(_memchr_mask(data, byte))))
+    return mask_positions(_memchr_mask(data, byte))
 
 
 @functools.partial(jax.jit, static_argnames=("needle",))
@@ -50,8 +79,24 @@ def memmem(data: jnp.ndarray, needle: bytes) -> np.ndarray:
         return np.arange(int(data.shape[0]) + 1)
     if len(needle) > int(data.shape[0]):
         return np.empty(0, dtype=np.int64)
-    mask = _memmem_mask(data, tuple(needle))
-    return np.flatnonzero(np.asarray(jax.device_get(mask)))
+    return mask_positions(_memmem_mask(data, tuple(needle)))
+
+
+def memmem_count(data: jnp.ndarray, needle: bytes) -> int:
+    """Occurrence count, one scalar sync (overlaps included)."""
+    if len(needle) == 0 or len(needle) > int(data.shape[0]):
+        return 0
+    return int(jax.device_get(mask_count(_memmem_mask(data, tuple(needle)))))
+
+
+def literal_self_overlaps(lit: bytes) -> bool:
+    """True iff the literal has a proper border (can overlap itself), in
+    which case occurrence count != non-overlapping match count."""
+    k = len(lit)
+    for w in range(1, k):
+        if lit[:w] == lit[k - w:]:
+            return True
+    return False
 
 
 @functools.partial(jax.jit, static_argnames=("lits", "case_insensitive"))
@@ -77,21 +122,81 @@ def _multi_literal_scan(data: jnp.ndarray, lits: Tuple[Tuple[int, ...], ...],
     return best, blen
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _multi_compact(best, blen, cap: int):
+    mask = best >= 0
+    idx = jnp.nonzero(mask, size=cap, fill_value=best.shape[0])[0]
+    safe = jnp.minimum(idx, best.shape[0] - 1)
+    return idx, jnp.take(best, safe), jnp.take(blen, safe)
+
+
 def multi_literal_hits(data: jnp.ndarray, literals: Sequence[bytes]
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (positions, literal_index, literal_length) for every position
     where some alternation branch matches, with branch priority applied."""
     lits = tuple(tuple(l) for l in literals)
     best, blen = _multi_literal_scan(data, lits)
-    best = np.asarray(jax.device_get(best))
-    blen = np.asarray(jax.device_get(blen))
-    pos = np.flatnonzero(best >= 0)
-    return pos, best[pos], blen[pos]
+    cnt = int(jax.device_get(mask_count(best >= 0)))
+    if cnt == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    cap = _bucket(cnt)
+    idx, b, l = _multi_compact(best, blen, cap)
+    idx = np.asarray(jax.device_get(idx))[:cnt].astype(np.int64)
+    b = np.asarray(jax.device_get(b))[:cnt].astype(np.int64)
+    l = np.asarray(jax.device_get(l))[:cnt].astype(np.int64)
+    return idx, b, l
 
 
 @jax.jit
-def _member_mask(data: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    return table[data]
+def _multi_nonoverlap_count(best, blen):
+    """Non-overlapping greedy count when no two hits overlap at all; also
+    returns whether that bulk condition holds."""
+    n = best.shape[0]
+    mask = best >= 0
+    cnt = mask.sum(dtype=jnp.int32)
+    # end offset at each hit position; non-hits get sentinel 0
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    ends = jnp.where(mask, idxs + blen, 0)
+    run_end = jax.lax.cummax(ends)
+    shifted = jnp.concatenate([jnp.zeros(1, jnp.int32), run_end[:-1]])
+    overlap = jnp.any(mask & (idxs < shifted))
+    return cnt, overlap
+
+
+def _class_mask_from_table(data: jnp.ndarray, table: np.ndarray):
+    """Membership via range compares (gather-free): the 256-entry table is
+    decomposed into its byte ranges host-side."""
+    ranges = []
+    b = 0
+    while b < 256:
+        if table[b]:
+            e = b
+            while e + 1 < 256 and table[e + 1]:
+                e += 1
+            ranges.append((b, e))
+            b = e + 1
+        else:
+            b += 1
+    return _range_mask(data, tuple(ranges))
+
+
+@functools.partial(jax.jit, static_argnames=("ranges",))
+def _range_mask(data: jnp.ndarray, ranges) -> jnp.ndarray:
+    acc = jnp.zeros(data.shape, dtype=bool)
+    for lo, hi in ranges:
+        if lo == hi:
+            acc = acc | (data == np.uint8(lo))
+        else:
+            acc = acc | ((data >= np.uint8(lo)) & (data <= np.uint8(hi)))
+    return acc
+
+
+@jax.jit
+def _run_masks(mask: jnp.ndarray):
+    prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
+    nxt = jnp.concatenate([mask[1:], jnp.zeros(1, bool)])
+    return mask & ~prev, mask & ~nxt
 
 
 def class_runs(data: jnp.ndarray, membership: np.ndarray
@@ -99,17 +204,47 @@ def class_runs(data: jnp.ndarray, membership: np.ndarray
     """Maximal runs of bytes in the class: returns (starts, ends) arrays.
 
     The CharClassSearcher single-pass state machine
-    (nfa/charclass_searcher.go:89) becomes a mask + boundary diff.
-    """
-    mask = np.asarray(jax.device_get(
-        _member_mask(data, jnp.asarray(membership, dtype=bool))))
-    if mask.size == 0:
+    (nfa/charclass_searcher.go:89) becomes a mask + boundary diff, fully
+    device-reduced."""
+    if int(data.shape[0]) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    prev = np.concatenate([[False], mask[:-1]])
-    nxt = np.concatenate([mask[1:], [False]])
-    starts = np.flatnonzero(mask & ~prev)
-    ends = np.flatnonzero(mask & ~nxt) + 1
+    mask = _class_mask_from_table(data, membership)
+    smask, emask = _run_masks(mask)
+    starts = mask_positions(smask)
+    ends = mask_positions(emask) + 1
     return starts, ends
+
+
+def class_run_count(data: jnp.ndarray, membership: np.ndarray,
+                    min_len: int, max_len: int) -> int:
+    """Number of [class]{m,k}-greedy matches, computed fully on device:
+    per maximal run of length len, matches = len//k + (len%k >= m)
+    (k == -1 -> one match per run of len >= m)."""
+    if int(data.shape[0]) == 0:
+        return 0
+    mask = _class_mask_from_table(data, membership)
+    return int(jax.device_get(
+        _run_count_kernel(mask, min_len, max_len)))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k"))
+def _run_count_kernel(mask: jnp.ndarray, m: int, k: int):
+    n = mask.shape[0]
+    prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
+    nxt = jnp.concatenate([mask[1:], jnp.zeros(1, bool)])
+    is_start = mask & ~prev
+    is_end = mask & ~nxt
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    # run length at each end position: distance to the most recent start
+    start_pos = jnp.where(is_start, idxs, -1)
+    latest_start = jax.lax.cummax(start_pos)
+    run_len = jnp.where(is_end, idxs - latest_start + 1, 0)
+    if m <= 1 and k == -1:
+        return is_start.sum(dtype=jnp.int32)
+    if k == -1:
+        return (run_len >= m).sum(dtype=jnp.int32)
+    per = run_len // k + ((run_len % k) >= m)
+    return jnp.where(run_len > 0, per, 0).sum(dtype=jnp.int32)
 
 
 @jax.jit
@@ -118,7 +253,7 @@ def _newline_mask(data: jnp.ndarray) -> jnp.ndarray:
 
 
 def newline_positions(data: jnp.ndarray) -> np.ndarray:
-    return np.flatnonzero(np.asarray(jax.device_get(_newline_mask(data))))
+    return mask_positions(_newline_mask(data))
 
 
 def line_starts_for(positions: np.ndarray, newlines: np.ndarray
