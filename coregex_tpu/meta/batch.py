@@ -72,6 +72,25 @@ def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
     return np.array(out, dtype=np.int64).reshape(-1, 2)
 
 
+def _bulk_count_kernel(starts, ends, data, class_tbl, n):
+    """Device bulk selection check: (count, overlap, pending).
+
+    starts sorted ascending (padding entries have end == -1); overlap means
+    greedy selection would drop some candidate; pending means some match
+    end lands mid-run (a restart start not in the candidate set)."""
+    import jax
+    import jax.numpy as jnp
+    valid = ends >= 0
+    e = jnp.where(valid, ends, -1).astype(jnp.int32)
+    prevmax = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(e)[:-1]])
+    overlap = jnp.any(valid & (starts < prevmax))
+    ei = jnp.clip(e, 1, n - 1)
+    in_cls = class_tbl[data[ei]] & class_tbl[data[ei - 1]]
+    pending = jnp.any(valid & (e > 0) & (e < n) & in_cls)
+    return valid.sum(dtype=jnp.int32), overlap, pending
+
+
 class BatchEngine:
     """Per-pattern batch execution plan + device artifacts."""
 
@@ -114,9 +133,9 @@ class BatchEngine:
     def find_all_spans(self, data: np.ndarray, limit: int = -1
                        ) -> np.ndarray:
         """All non-overlapping spans with Go semantics; data is host uint8."""
-        import jax.numpy as jnp
+        from ..utils.corpus_cache import device_corpus
         n = len(data)
-        dev = jnp.asarray(data)
+        dev = device_corpus(data)
         strat = self.plan.strategy
         if strat == Strategy.CHARCLASS:
             return self._charclass_spans(dev, n, limit)
@@ -128,22 +147,22 @@ class BatchEngine:
             return self._line_shape_spans(dev, data, n, limit)
         if strat == Strategy.INNER:
             return self._inner_spans(dev, data, n, limit)
+        if strat == Strategy.PREFIX_RUN:
+            return self._prefix_run_spans(dev, data, n, limit)
         if strat == Strategy.FULL_SCAN:
             return self._full_scan_spans(dev, data, n, limit)
         raise RuntimeError("host strategy should not reach BatchEngine")
 
     def is_match(self, data: np.ndarray) -> bool:
         import jax
-        import jax.numpy as jnp
         n = len(data)
         strat = self.plan.strategy
-        if strat in (Strategy.LITERAL, Strategy.MULTI_LITERAL,
-                     Strategy.CHARCLASS, Strategy.LINE_SHAPE,
-                     Strategy.INNER):
+        if strat != Strategy.FULL_SCAN:
             return len(self.find_all_spans(data, limit=1)) > 0
         from ..dfa.dense import CTX_SOT
         from ..ops.dfa_scan import ChunkScanner, flags_count
-        dev = jnp.asarray(data)
+        from ..utils.corpus_cache import device_corpus
+        dev = device_corpus(data)
         fwd = self._dense("fwd_all")
         sc = ChunkScanner(fwd)
         flags, exits, conv, (L, T) = sc.scan_device(dev)
@@ -160,9 +179,9 @@ class BatchEngine:
         meta/findall.go:297 analogue): most strategies reduce to one or two
         scalar syncs without materializing spans."""
         import jax
-        import jax.numpy as jnp
+        from ..utils.corpus_cache import device_corpus
         strat = self.plan.strategy
-        dev = jnp.asarray(data)
+        dev = device_corpus(data)
         if strat == Strategy.CHARCLASS:
             from ..ops.bytescan import class_run_count
             cc = self.plan.charclass
@@ -182,7 +201,74 @@ class BatchEngine:
                 _multi_nonoverlap_count(best, blen))
             if not bool(overlap):
                 return int(cnt)
+        if strat == Strategy.PREFIX_RUN:
+            c = self._prefix_run_count_device(dev, data, len(data))
+            if c is not None:
+                return c
         return len(self.find_all_spans(data))
+
+    # .. prefix-run (leading [class]+) .................................
+    def _prefix_run_table(self) -> np.ndarray:
+        return np.array(self.plan.prefix_run.table, dtype=bool)
+
+    def _prefix_run_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.bytescan import (_class_mask_from_table, _run_masks,
+                                    mask_positions)
+        from ..ops.dfa_scan import WindowScanner
+        table = self._prefix_run_table()
+        mask = _class_mask_from_table(dev, table)
+        smask, _ = _run_masks(mask)
+        cand = mask_positions(smask)
+        if len(cand) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        if len(cand) > max(n // 6, 1024):
+            return self._full_scan_spans(dev, data, n, limit)
+        ws = WindowScanner(self._dense("fwd_anch_break"), init_window=32)
+        # fixpoint expansion: a match end landing mid-run is itself a
+        # possible restart start (leading [c]+ makes true starts closed
+        # leftward within a run; see PrefixRunShape)
+        for _ in range(16):
+            ends = ws.ends_for_starts(dev, cand)
+            valid = ends >= 0
+            e = ends[valid]
+            e_in = e[(e > 0) & (e < n)]
+            mid = e_in[table[data[e_in]] & table[data[e_in - 1]]]
+            new = np.setdiff1d(mid, cand)
+            if len(new) == 0:
+                break
+            cand = np.union1d(cand, new)
+        else:
+            return self._full_scan_spans(dev, data, n, limit)
+        return go_select(cand[valid], ends[valid], n, data, limit)
+
+    def _prefix_run_count_device(self, dev, data, n):
+        """Device-side bulk count for PREFIX_RUN: returns None when the
+        bulk conditions (no overlaps, no mid-run restarts) fail."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_bucket, _class_mask_from_table,
+                                    _mask_nonzero, _run_masks, mask_count)
+        from ..ops.dfa_scan import WindowScanner
+        table = self._prefix_run_table()
+        mask = _class_mask_from_table(dev, table)
+        smask, _ = _run_masks(mask)
+        cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return 0
+        if cnt > max(n // 6, 1024):
+            return None
+        cap = _bucket(cnt)
+        starts_dev = jnp.minimum(_mask_nonzero(smask, cap),
+                                 n).astype(jnp.int32)
+        ws = WindowScanner(self._dense("fwd_anch_break"), init_window=32)
+        ends_dev = ws.ends_for_starts_device(dev, starts_dev, cnt)
+        tbl_dev = jnp.asarray(table)
+        count, overlap, pending = jax.device_get(
+            _bulk_count_kernel(starts_dev, ends_dev, dev, tbl_dev,
+                               jnp.int32(n)))
+        if bool(overlap) or bool(pending):
+            return None
+        return int(count)
 
     # -- strategy executors ---------------------------------------------
     def _charclass_spans(self, dev, n, limit) -> np.ndarray:
@@ -285,8 +371,8 @@ class BatchEngine:
                         a_is_empty, limit) -> np.ndarray:
         """(?s) universal variants: at most one match."""
         from ..ops.bytescan import line_ends_for, newline_positions
-        import jax.numpy as jnp
-        nl = newline_positions(jnp.asarray(data))
+        from ..utils.corpus_cache import device_corpus
+        nl = newline_positions(device_corpus(data))
         if a_univ == UNIV_ANY:
             start = 0
             if b_univ == UNIV_ANY:
@@ -304,7 +390,9 @@ class BatchEngine:
                 from ..ops.bytescan import line_starts_for
                 start = int(line_starts_for(cand[:1], nl)[0])
             else:
-                return self._inner_spans(jnp.asarray(data), data, n, limit)
+                from ..utils.corpus_cache import device_corpus
+                return self._inner_spans(device_corpus(data), data, n,
+                                         limit)
         return np.array([[start, end]], dtype=np.int64)
 
     # .. inner-literal general ...........................................
@@ -316,8 +404,9 @@ class BatchEngine:
         import jax
         import jax.numpy as jnp
         from ..ops.dfa_scan import _bucket, _impl_default, _window_scan_flags
+        from ..utils.corpus_cache import device_corpus_flipped
         rp = self._dense("rev_prefix")
-        fdev = jnp.flip(dev)
+        fdev = device_corpus_flipped(data)
         starts_all: List[np.ndarray] = []
         todo = np.arange(len(cand_end))
         W = 64
@@ -371,15 +460,15 @@ class BatchEngine:
         return go_select(starts[keep], ends[keep], n, data, limit)
 
     # .. full scan ........................................................
-    def _all_starts(self, dev, n) -> np.ndarray:
+    def _all_starts(self, dev, data, n) -> np.ndarray:
         """All match-start offsets via the reverse all-ends chunk scan,
         device-reduced to compact positions."""
         import jax
-        import jax.numpy as jnp
         from ..dfa.dense import CTX_SOT
         from ..ops.dfa_scan import ChunkScanner, flag_positions
+        from ..utils.corpus_cache import device_corpus_flipped
         rev = self._dense("rev_all")
-        fdev = jnp.flip(dev)
+        fdev = device_corpus_flipped(data)
         sc = ChunkScanner(rev)
         flags, exits, conv, (L, T) = sc.scan_device(fdev)
         if not bool(jax.device_get(conv)):
@@ -397,7 +486,7 @@ class BatchEngine:
 
     def _full_scan_spans(self, dev, data, n, limit) -> np.ndarray:
         from ..ops.dfa_scan import WindowScanner
-        starts = self._all_starts(dev, n)
+        starts = self._all_starts(dev, data, n)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
         ws = WindowScanner(self._dense("fwd_anch_break"))

@@ -214,6 +214,34 @@ def inner_split(root: Node) -> Optional[InnerSplit]:
     )
 
 
+@dataclass
+class PrefixRunShape:
+    """Pattern = [class]+ · rest (greedy, unbounded): match starts are
+    closed leftward within class runs, so run starts are sufficient
+    candidates (the DigitPrefilter analogue, prefilter/digit.go:15-60)."""
+    table: List[bool]          # 256-entry membership of the leading class
+
+
+def prefix_run_shape(root: Node) -> Optional[PrefixRunShape]:
+    node = root
+    while node.op == Op.CAPTURE:
+        node = node.subs[0]
+    if node.op != Op.CONCAT or not node.subs:
+        return None
+    head = node.subs[0]
+    while head.op == Op.CAPTURE:
+        head = head.subs[0]
+    ok = (head.op == Op.PLUS and head.greedy) or (
+        head.op == Op.REPEAT and head.greedy and head.min >= 1
+        and head.max == -1)
+    if not ok:
+        return None
+    t = ascii_class_table(head.subs[0])
+    if t is None:
+        return None
+    return PrefixRunShape(t)
+
+
 def is_nullable(node: Node) -> bool:
     """Can the pattern match the empty string?"""
     op = node.op

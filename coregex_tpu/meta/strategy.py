@@ -34,6 +34,7 @@ class Strategy(enum.Enum):
     MULTI_LITERAL = "multi_literal"
     LINE_SHAPE = "line_shape"
     INNER = "inner"
+    PREFIX_RUN = "prefix_run"
     FULL_SCAN = "full_scan"
     HOST = "host"
 
@@ -45,6 +46,7 @@ class Plan:
     literals: Optional[List[bytes]] = None
     charclass: Optional[CharClassShape] = None
     split: Optional[InnerSplit] = None
+    prefix_run: Optional["litmod.PrefixRunShape"] = None
     nullable: bool = False
 
 
@@ -94,6 +96,12 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
         return Plan(Strategy.INNER,
                     f"inner literal {split.lit!r} with DFA verification",
                     split=split, nullable=nullable)
+
+    pr = litmod.prefix_run_shape(ast)
+    if pr is not None:
+        return Plan(Strategy.PREFIX_RUN,
+                    "leading [class]+ run-start candidates",
+                    prefix_run=pr, nullable=nullable)
 
     return Plan(Strategy.FULL_SCAN, "no literals; dense DFA scan",
                 nullable=nullable)

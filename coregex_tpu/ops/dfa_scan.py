@@ -448,31 +448,63 @@ class WindowScanner:
         self.max_window = max_window
         self.impl = impl or _impl_default()
 
+    def _scan_round(self, data, starts_dev, n, B, W):
+        d = self.d
+        return _window_scan(
+            d.delta, d.match_on, d.comb, d.match_eoi, d.starts,
+            d.bounds, data, starts_dev, jnp.int32(n),
+            B=B, W=min(W, n + 1), S=d.num_states, C=d.num_classes,
+            impl=self.impl)
+
     def ends_for_starts(self, data: jnp.ndarray, starts: np.ndarray
                         ) -> np.ndarray:
         n = int(data.shape[0])
         if len(starts) == 0:
             return np.empty(0, dtype=np.int64)
-        d = self.d
         ends = np.full(len(starts), -1, dtype=np.int64)
         todo = np.arange(len(starts))
         W = self.init_window
         cur_starts = np.asarray(starts, dtype=np.int64)
         while len(todo):
             B = _bucket(len(todo), 16)
-            sb = np.zeros(B, dtype=np.int32)
+            sb = np.full(B, n, dtype=np.int32)
             sb[:len(todo)] = cur_starts[todo]
-            last, alive = _window_scan(
-                d.delta, d.match_on, d.comb, d.match_eoi, d.starts,
-                d.bounds, data, jnp.asarray(sb), jnp.int32(n),
-                B=B, W=min(W, n + 1), S=d.num_states, C=d.num_classes,
-                impl=self.impl)
+            last, alive = self._scan_round(data, jnp.asarray(sb), n, B, W)
             last = np.asarray(jax.device_get(last))[:len(todo)]
             alive = np.asarray(jax.device_get(alive))[:len(todo)]
             ends[todo] = last
             still = alive & (W < self.max_window) & (W <= n)
             todo = todo[still]
             W *= 4
+        return ends
+
+    def ends_for_starts_device(self, data: jnp.ndarray,
+                               starts_dev: jnp.ndarray,
+                               nvalid: int) -> jnp.ndarray:
+        """Device-resident variant: `starts_dev` is a padded [B] array
+        (padding entries == n, which yield end == -1); returns a device
+        ends array aligned with it.  Escalation compacts alive lanes on
+        device; only small scalars sync."""
+        n = int(data.shape[0])
+        B = int(starts_dev.shape[0])
+        W = self.init_window
+        ends, alive = self._scan_round(data, starts_dev, n, B, W)
+        while W < self.max_window and W <= n:
+            n_alive = int(jax.device_get(alive.sum(dtype=jnp.int32)))
+            if n_alive == 0:
+                break
+            W *= 4
+            cap = _bucket(n_alive, 16)
+            todo = jnp.nonzero(alive, size=cap, fill_value=B - 1)[0]
+            sub_starts = jnp.where(
+                jnp.arange(cap) < n_alive, starts_dev[todo], n)
+            last2, alive2 = self._scan_round(
+                data, sub_starts.astype(jnp.int32), n, cap, W)
+            keep = jnp.arange(cap) < n_alive
+            ends = ends.at[todo].set(
+                jnp.where(keep, last2, ends[todo]))
+            new_alive = jnp.zeros_like(alive).at[todo].set(alive2 & keep)
+            alive = new_alive
         return ends
 
 

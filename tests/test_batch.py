@@ -49,9 +49,9 @@ CASES = [
     (r"(?s).*keyword(?s).*", Strategy.LINE_SHAPE),
     (r"error.*fox", Strategy.INNER),
     (r"\w+\.php", Strategy.INNER),
-    (r"\d+\.\d+\.\d+\.\d+", Strategy.FULL_SCAN),
-    (r"\d+\.\d+", Strategy.FULL_SCAN),
-    (r"[a-z]+[0-9]+", Strategy.FULL_SCAN),
+    (r"\d+\.\d+\.\d+\.\d+", Strategy.PREFIX_RUN),
+    (r"\d+\.\d+", Strategy.PREFIX_RUN),
+    (r"[a-z]+[0-9]+", Strategy.PREFIX_RUN),
     (r"\bfox\b", Strategy.INNER),
 ]
 
