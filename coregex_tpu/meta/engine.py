@@ -68,7 +68,11 @@ class Stats:
 class Engine:
     """A compiled pattern (the reference's meta.Engine + Regexp facade)."""
 
-    def __init__(self, parsed: Parsed, longest: bool = False):
+    def __init__(self, parsed: Parsed, longest: bool = False,
+                 config=None):
+        from . import anchored_literal
+        from .config import DEFAULT, debug
+        self.config = (config or DEFAULT).validate()
         self.parsed = parsed
         self.pattern = parsed.pattern
         self.longest = longest
@@ -83,23 +87,36 @@ class Engine:
         # Dense DFAs (eager). On overflow fall back to PikeVM-only.
         self.fwd: Optional[DenseDFA] = None
         self.rev: Optional[DenseDFA] = None
-        try:
-            self.fwd = determinize(self.nfa_nocap, anchored=False,
-                                   break_at_match=not longest)
-            self.rev = determinize(self.nfa_rev, anchored=True,
-                                   break_at_match=False, reverse=True)
-        except DFAOverflow:
-            self.fwd = None
-            self.rev = None
+        if self.config.enable_dfa:
+            try:
+                self.fwd = determinize(self.nfa_nocap, anchored=False,
+                                       break_at_match=not longest,
+                                       state_limit=self.config.state_limit)
+                self.rev = determinize(self.nfa_rev, anchored=True,
+                                       break_at_match=False, reverse=True,
+                                       state_limit=self.config.state_limit)
+            except DFAOverflow:
+                self.fwd = None
+                self.rev = None
+
+        # O(1) fully-anchored literal shapes (meta/anchored_literal.go)
+        self._anchored_lit = (anchored_literal.detect(parsed.ast)
+                              if not longest else None)
 
         self._batch = None  # lazy TPU execution plan
         self._onepass = None  # lazy OnePass capture DFA (False == rejected)
-        self.batch_threshold = 1 << 14  # below this, host paths win
+        self._bt = None  # lazy BoundedBacktracker
+        self.batch_threshold = self.config.batch_threshold
+
+        debug(1, f"compile {self.pattern!r}: nfa={len(self.nfa)} states, "
+                 f"dfa={'%d states' % self.fwd.num_states if self.fwd else 'off'}, "
+                 f"anchored_lit={'yes' if self._anchored_lit else 'no'}")
 
     # -- construction ---------------------------------------------------
     @classmethod
-    def compile(cls, pattern: str, longest: bool = False, **kw) -> "Engine":
-        return cls(parse(pattern), longest=longest)
+    def compile(cls, pattern: str, longest: bool = False,
+                config=None, **kw) -> "Engine":
+        return cls(parse(pattern), longest=longest, config=config)
 
     # -- batch (TPU) plan -----------------------------------------------
     def batch_engine(self):
@@ -125,14 +142,30 @@ class Engine:
         return self.batch_engine().plan.strategy != Strategy.HOST
 
     # -- core single-search primitives ----------------------------------
+    def _backtracker(self):
+        if self._bt is None:
+            from ..engines.backtrack import BoundedBacktracker
+            self._bt = BoundedBacktracker(self.nfa)
+        return self._bt
+
     def _find_span_host(self, data: np.ndarray, pos: int
                         ) -> Optional[Tuple[int, int]]:
+        if self._anchored_lit is not None:
+            from . import anchored_literal
+            if pos > 0:
+                return None  # \A-anchored: no match past position 0
+            return anchored_literal.match_span(self._anchored_lit, data)
         if self.fwd is not None and self.rev is not None and not self.longest:
             self.stats.dfa_searches += 1
             return dfasearch.find_span(self.fwd, self.rev, data, pos)
+        text = bytes(data.tobytes())
+        if not self.longest:
+            bt = self._backtracker()
+            if bt.can_handle(len(text) - pos):
+                self.stats.nfa_searches += 1
+                return bt.find(text, pos)
         self.stats.nfa_searches += 1
-        m = self.pikevm.search(bytes(data.tobytes()), pos,
-                               longest=self.longest)
+        m = self.pikevm.search(text, pos, longest=self.longest)
         return (m[0], m[1]) if m is not None else None
 
     def _is_match_host(self, data: np.ndarray) -> bool:
@@ -262,6 +295,11 @@ class Engine:
                 slots = op.apply(arr, span[0], span[1])
                 if slots is not None:
                     return tuple(slots)
+            bt = self._backtracker()
+            if bt.can_handle(span[1] - span[0] + 1):
+                m = bt.search(text, span[0], anchored=True, end=span[1])
+                if m is not None:
+                    return m
         return self.pikevm.search(text, span[0], anchored=True,
                                   longest=self.longest)
 

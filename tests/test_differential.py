@@ -255,3 +255,36 @@ def test_named_groups():
     assert eng.subexp_names() == ["", "year", "month"]
     g = eng.find_submatch(b"on 2024-03-01")
     assert g == [b"2024-03", b"2024", b"03"]
+
+
+def test_anchored_literal_shapes():
+    # ^prefix.*suffix$ family: O(1) byte-ops path (meta/anchored_literal.go)
+    cases = [
+        (r"^GET /index\.html$", b"GET /index.html", True),
+        (r"^GET /index\.html$", b"GET /index.htm", False),
+        (r"^foo.*bar$", b"fooxxxbar", True),
+        (r"^foo.*bar$", b"fooxxx\nbar", False),   # . excludes \n
+        (r"(?s)^foo.*bar$", b"fooxxx\nbar", True),
+        (r"^foo.*bar$", b"fobar", False),
+        (r"^a[0-9]+z$", b"a123z", True),
+        (r"^a[0-9]+z$", b"az", False),
+        (r"^a[0-9]*z$", b"az", True),
+        (r"^abc$", b"abc", True),
+        (r"^abc$", b"abcd", False),
+    ]
+    for pat, text, want in cases:
+        eng = Engine.compile(pat)
+        assert eng._anchored_lit is not None, f"{pat}: not detected"
+        assert eng.is_match(text) == want, f"{pat} on {text!r}"
+        if want:
+            assert eng.find_index(text) == (0, len(text))
+
+
+def test_config_and_debug():
+    from coregex_tpu.meta.config import Config
+    eng = Engine.compile(r"\d+", config=Config(enable_dfa=False))
+    assert eng.fwd is None
+    assert eng.find_index(b"ab 123") == (3, 6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Config(state_limit=2).validate()
