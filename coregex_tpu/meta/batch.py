@@ -99,7 +99,8 @@ class BatchEngine:
         self.ast = ast
         self.plan: Plan = select(ast, dfas_ok)
         self._ddfa_cache: Dict[str, object] = {}
-        self._nfa_cache: Dict[str, object] = {}
+        self._host_dense: Dict[str, object] = {}
+        self._sieve = None
 
     # -- artifact builders (lazy) ---------------------------------------
     def _dense(self, kind: str):
@@ -127,7 +128,17 @@ class BatchEngine:
         from ..ops.dfa_scan import DeviceDFA
         dd = DeviceDFA.from_dense(d)
         self._ddfa_cache[kind] = dd
+        self._host_dense[kind] = d
         return dd
+
+    def _sieve_ranges(self):
+        """Cached offset byte-range sieve from the anchored DFA."""
+        if self._sieve is None:
+            from ..ops.sieve import offset_byte_ranges
+            self._dense("fwd_anch_break")
+            self._sieve = offset_byte_ranges(
+                self._host_dense["fwd_anch_break"])
+        return self._sieve
 
     # -- public entry points --------------------------------------------
     def find_all_spans(self, data: np.ndarray, limit: int = -1
@@ -205,19 +216,34 @@ class BatchEngine:
             c = self._prefix_run_count_device(dev, data, len(data))
             if c is not None:
                 return c
+        if strat == Strategy.LINE_SHAPE:
+            c = self._line_shape_count_device(dev, len(data))
+            if c is not None:
+                return c
         return len(self.find_all_spans(data))
 
     # .. prefix-run (leading [class]+) .................................
     def _prefix_run_table(self) -> np.ndarray:
         return np.array(self.plan.prefix_run.table, dtype=bool)
 
-    def _prefix_run_spans(self, dev, data, n, limit) -> np.ndarray:
-        from ..ops.bytescan import (_class_mask_from_table, _run_masks,
-                                    mask_positions)
-        from ..ops.dfa_scan import WindowScanner
+    def _prefix_run_candidates_mask(self, dev):
+        """Device mask of run-start candidates, sharpened by the
+        offset-byte-range sieve (Teddy/digit prefilter analogue)."""
+        from ..ops.bytescan import _class_mask_from_table, _run_masks
+        from ..ops.sieve import sieve_mask
         table = self._prefix_run_table()
         mask = _class_mask_from_table(dev, table)
         smask, _ = _run_masks(mask)
+        rs = self._sieve_ranges()
+        if rs:
+            smask = smask & sieve_mask(dev, tuple(rs))
+        return smask
+
+    def _prefix_run_spans(self, dev, data, n, limit) -> np.ndarray:
+        from ..ops.bytescan import mask_positions
+        from ..ops.dfa_scan import WindowScanner
+        table = self._prefix_run_table()
+        smask = self._prefix_run_candidates_mask(dev)
         cand = mask_positions(smask)
         if len(cand) == 0:
             return np.empty((0, 2), dtype=np.int64)
@@ -246,12 +272,10 @@ class BatchEngine:
         bulk conditions (no overlaps, no mid-run restarts) fail."""
         import jax
         import jax.numpy as jnp
-        from ..ops.bytescan import (_bucket, _class_mask_from_table,
-                                    _mask_nonzero, _run_masks, mask_count)
+        from ..ops.bytescan import _bucket, _mask_nonzero, mask_count
         from ..ops.dfa_scan import WindowScanner
         table = self._prefix_run_table()
-        mask = _class_mask_from_table(dev, table)
-        smask, _ = _run_masks(mask)
+        smask = self._prefix_run_candidates_mask(dev)
         cnt = int(jax.device_get(mask_count(smask)))
         if cnt == 0:
             return 0
@@ -309,45 +333,85 @@ class BatchEngine:
         return go_select(pos, pos + lens, n, data, limit)
 
     # .. line shapes .....................................................
-    def _line_shape_spans(self, dev, data, n, limit) -> np.ndarray:
-        from ..ops.bytescan import (line_ends_for, line_starts_for, memmem,
-                                    newline_positions)
-        sp = self.plan.split
-        lit, k = sp.lit, len(sp.lit)
-        cand = memmem(dev, lit)
-        if len(cand) == 0:
-            return np.empty((0, 2), dtype=np.int64)
-        if len(cand) > MAX_CANDIDATES:
-            return self._full_scan_spans(dev, data, n, limit)
-
+    def _line_shape_parts(self, sp):
         a_univ = sp.prefix_universal
         b_empty = sp.suffix_ast.op == Op.EMPTY
         b_univ = sp.suffix_universal
-        a_is_empty = litmod.exact_literals(sp.prefix_ast) == [lit] \
+        a_is_empty = litmod.exact_literals(sp.prefix_ast) == [sp.lit] \
             and not sp.line_anchored
+        return a_univ, b_empty, b_univ, a_is_empty
 
-        if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
-            return self._line_shape_any(data, n, cand, k, a_univ, b_univ,
-                                        b_empty, a_is_empty, limit)
-
-        nl = newline_positions(dev)
-        ls = line_starts_for(cand, nl)
-        le = line_ends_for(cand, nl, n)
-        valid = cand + k <= le
+    def _line_valid_mask(self, dev, n):
+        """[n] bool device mask: candidate positions that are valid within
+        their line (lit fits before line end; line-anchored prefix checks).
+        Returns (valid_mask, prev_nl, next_nl)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import _memmem_mask, line_bound_arrays
+        sp = self.plan.split
+        lit, k = sp.lit, len(sp.lit)
+        cand_mask = _memmem_mask(dev, tuple(lit))
+        prev_nl, next_nl = line_bound_arrays(dev)
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        valid = cand_mask & (idxs + k <= next_nl)
         if sp.line_anchored:
             P = sp.prefix_literal
             pl = len(P)
             if pl:
-                Pb = np.frombuffer(P, dtype=np.uint8)
-                ok = ls + pl <= n
-                seg = np.zeros((len(ls), pl), dtype=np.uint8)
-                base = np.minimum(ls, n - pl)[:, None] + np.arange(pl)[None, :]
-                seg = data[base]
-                ok &= (seg == Pb[None, :]).all(axis=1)
-                valid &= ok & (cand >= ls + pl)
-        cand, ls, le = cand[valid], ls[valid], le[valid]
-        if len(cand) == 0:
+                prefix_at = _memmem_mask(dev, tuple(P))
+                is_ls = (idxs == 0) | (dev[jnp.maximum(idxs - 1, 0)]
+                                       == np.uint8(10))
+                # a position's line is "good" iff its line start carries the
+                # required prefix: latest good line start == this line start
+                lg = jax.lax.cummax(
+                    jnp.where(is_ls & prefix_at, idxs, -1))
+                line_good = lg == (prev_nl + 1)
+                valid = valid & line_good & (idxs >= prev_nl + 1 + pl)
+        return valid, prev_nl, next_nl
+
+    def _line_shape_count_device(self, dev, n) -> Optional[int]:
+        """Device-only line-shape count: one match per candidate line."""
+        import jax
+        import jax.numpy as jnp
+        sp = self.plan.split
+        a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
+        if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
+            return None  # single-match shapes: spans path is trivial
+        valid, prev_nl, _ = self._line_valid_mask(dev, n)
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        pv = jax.lax.cummax(jnp.where(valid, idxs, -1))
+        pv_excl = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pv[:-1]])
+        first_in_line = valid & (pv_excl <= prev_nl)
+        return int(jax.device_get(first_in_line.sum(dtype=jnp.int32)))
+
+    def _line_shape_spans(self, dev, data, n, limit) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import _bucket, _mask_nonzero, mask_count, memmem
+        sp = self.plan.split
+        lit, k = sp.lit, len(sp.lit)
+        a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
+
+        if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
+            cand = memmem(dev, lit)
+            if len(cand) == 0:
+                return np.empty((0, 2), dtype=np.int64)
+            return self._line_shape_any(data, n, cand, k, a_univ, b_univ,
+                                        b_empty, a_is_empty, limit)
+
+        valid_mask, prev_nl, next_nl = self._line_valid_mask(dev, n)
+        cnt = int(jax.device_get(mask_count(valid_mask)))
+        if cnt == 0:
             return np.empty((0, 2), dtype=np.int64)
+        if cnt > MAX_CANDIDATES:
+            return self._full_scan_spans(dev, data, n, limit)
+        cap = _bucket(cnt, 16)
+        cand_dev = jnp.minimum(_mask_nonzero(valid_mask, cap), n - 1)
+        ls_dev = jnp.take(prev_nl, cand_dev) + 1
+        le_dev = jnp.take(next_nl, cand_dev)
+        cand = np.asarray(jax.device_get(cand_dev))[:cnt].astype(np.int64)
+        ls = np.asarray(jax.device_get(ls_dev))[:cnt].astype(np.int64)
+        le = np.asarray(jax.device_get(le_dev))[:cnt].astype(np.int64)
 
         # group by line (cand sorted ascending => ls non-decreasing)
         uniq_ls, first_idx = np.unique(ls, return_index=True)

@@ -371,9 +371,8 @@ def flags_count(flags: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _flags_positions(flags: jnp.ndarray, n: int, cap: int):
-    flat = flags.reshape(-1)[:]
-    idx = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])[0]
-    return idx
+    from .bytescan import _mask_nonzero
+    return _mask_nonzero(flags.reshape(-1), cap)
 
 
 def flag_positions(flags_dev: jnp.ndarray, n: int) -> np.ndarray:
@@ -495,7 +494,8 @@ class WindowScanner:
                 break
             W *= 4
             cap = _bucket(n_alive, 16)
-            todo = jnp.nonzero(alive, size=cap, fill_value=B - 1)[0]
+            from .bytescan import _mask_nonzero
+            todo = jnp.minimum(_mask_nonzero(alive, cap), B - 1)
             sub_starts = jnp.where(
                 jnp.arange(cap) < n_alive, starts_dev[todo], n)
             last2, alive2 = self._scan_round(
