@@ -106,6 +106,14 @@ class BatchEngine:
     def _dense(self, kind: str):
         if kind in self._ddfa_cache:
             return self._ddfa_cache[kind]
+        from ..utils.artifact_cache import load_dense, save_dense
+        cached = load_dense(self.parsed.pattern, kind)
+        if cached is not None:
+            from ..ops.dfa_scan import DeviceDFA
+            dd = DeviceDFA.from_dense(cached)
+            self._ddfa_cache[kind] = dd
+            self._host_dense[kind] = cached
+            return dd
         if kind == "fwd_all":
             nfa = compile_nfa(self.parsed, with_captures=False)
             d = determinize(nfa, anchored=False, break_at_match=False)
@@ -126,6 +134,7 @@ class BatchEngine:
         else:
             raise KeyError(kind)
         from ..ops.dfa_scan import DeviceDFA
+        save_dense(self.parsed.pattern, kind, d)
         dd = DeviceDFA.from_dense(d)
         self._ddfa_cache[kind] = dd
         self._host_dense[kind] = d

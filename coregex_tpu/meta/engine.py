@@ -88,13 +88,22 @@ class Engine:
         self.fwd: Optional[DenseDFA] = None
         self.rev: Optional[DenseDFA] = None
         if self.config.enable_dfa:
+            from ..utils.artifact_cache import load_dense, save_dense
             try:
-                self.fwd = determinize(self.nfa_nocap, anchored=False,
-                                       break_at_match=not longest,
-                                       state_limit=self.config.state_limit)
-                self.rev = determinize(self.nfa_rev, anchored=True,
-                                       break_at_match=False, reverse=True,
-                                       state_limit=self.config.state_limit)
+                self.fwd = load_dense(self.pattern, f"fwd:{longest}")
+                if self.fwd is None:
+                    self.fwd = determinize(
+                        self.nfa_nocap, anchored=False,
+                        break_at_match=not longest,
+                        state_limit=self.config.state_limit)
+                    save_dense(self.pattern, f"fwd:{longest}", self.fwd)
+                self.rev = load_dense(self.pattern, "rev")
+                if self.rev is None:
+                    self.rev = determinize(
+                        self.nfa_rev, anchored=True,
+                        break_at_match=False, reverse=True,
+                        state_limit=self.config.state_limit)
+                    save_dense(self.pattern, "rev", self.rev)
             except DFAOverflow:
                 self.fwd = None
                 self.rev = None
@@ -504,7 +513,99 @@ class Engine:
         return [b.decode("utf-8", errors="surrogateescape")
                 for b in self.split(s, n)]
 
+    # -- Go API parity extras -------------------------------------------
+    def literal_prefix(self) -> Tuple[bytes, bool]:
+        """Regexp.LiteralPrefix: a literal that must begin any match, and
+        whether it is the whole pattern."""
+        from . import literal as litmod
+        lits = litmod.exact_literals(self.parsed.ast)
+        if lits is not None and len(lits) == 1:
+            return lits[0], True
+        node = self.parsed.ast
+        from ..syntax.ast import Op
+        while node.op == Op.CAPTURE:
+            node = node.subs[0]
+        prefix = b""
+        if node.op == Op.CONCAT:
+            for sub in node.subs:
+                l = litmod.exact_literals(sub)
+                if l is not None and len(l) == 1:
+                    prefix += l[0]
+                else:
+                    break
+        elif node.op == Op.LITERAL:
+            l = litmod.exact_literals(node)
+            if l:
+                prefix = l[0]
+        return prefix, False
+
+    def subexp_index(self, name: str) -> int:
+        """Regexp.SubexpIndex: group index for a name, or -1."""
+        for i, nm in enumerate(self.subexp_names()):
+            if i > 0 and nm == name:
+                return i
+        return -1
+
+    def set_longest(self, longest: bool = True) -> None:
+        """Regexp.Longest(): switch to POSIX leftmost-longest matching."""
+        if longest != self.longest:
+            self.__init__(self.parsed, longest=longest, config=self.config)
+
+    def expand(self, template: Bytes, src: Bytes,
+               match: Sequence[int]) -> bytes:
+        """Regexp.Expand: apply a $-template given a flat submatch index
+        vector (as returned by find_submatch_index flattened)."""
+        tmpl = template.encode("utf-8") if isinstance(template, str) \
+            else bytes(template)
+        text = bytes(_as_array(src).tobytes())
+        flat = []
+        for v in match:
+            flat.append(-1 if v is None else int(v))
+        return self._expand(tmpl, text, tuple(flat))
+
+    # -- streaming (MatchReader family, regex.go:1619-1667 analogue) -----
+    def is_match_reader(self, reader, chunk_size: int = 1 << 20) -> bool:
+        """Stream a file-like object through the DFA with carried state;
+        stops at the first match."""
+        if self.fwd is None or self.longest:
+            data = reader.read()
+            return self.is_match(data)
+        from ..dfa.dense import CTX_SOT, DEAD
+        fwd = self.fwd
+        s = int(fwd.starts[CTX_SOT])
+        delta, match_on, classes = fwd.delta, fwd.match_on, fwd.classes
+        while True:
+            buf = reader.read(chunk_size)
+            if not buf:
+                break
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            cls = classes[arr]
+            for c in cls:
+                if match_on[s, c]:
+                    return True
+                s = delta[s, c]
+                if s == DEAD:
+                    return False
+        return bool(fwd.match_eoi[s, CTX_SOT])
+
+    def find_reader_index(self, reader, chunk_size: int = 1 << 20
+                          ) -> Optional[Tuple[int, int]]:
+        """FindReaderIndex: buffers consumed input (like Go's rune reader
+        adapter) and reports the leftmost match span in stream offsets."""
+        chunks = []
+        while True:
+            buf = reader.read(chunk_size)
+            if not buf:
+                break
+            chunks.append(bytes(buf))
+        data = b"".join(chunks)
+        return self.find_index(data)
+
     # -- misc ------------------------------------------------------------
+    def copy(self) -> "Engine":
+        """Regexp.Copy (deprecated in Go; engines here are stateless)."""
+        return self
+
     def __repr__(self) -> str:
         return f"coregex_tpu.Regex({self.pattern!r})"
 
