@@ -322,6 +322,23 @@ def determinize(nfa: NFA, anchored: bool = False,
                 state_limit: int = DEFAULT_STATE_LIMIT,
                 byte_classes: Optional[ByteClasses] = None,
                 reverse: bool = False) -> DenseDFA:
+    from ..native import determinize_native
+    dfa = determinize_native(nfa, anchored, break_at_match, state_limit,
+                             byte_classes)
+    if dfa is None:
+        d = _Determinizer(nfa, anchored, break_at_match, state_limit,
+                          byte_classes)
+        dfa = d.run()
+    dfa.reverse = reverse
+    return dfa
+
+
+def determinize_py(nfa: NFA, anchored: bool = False,
+                   break_at_match: bool = True,
+                   state_limit: int = DEFAULT_STATE_LIMIT,
+                   byte_classes: Optional[ByteClasses] = None,
+                   reverse: bool = False) -> DenseDFA:
+    """Pure-Python determinizer (the native module's oracle)."""
     d = _Determinizer(nfa, anchored, break_at_match, state_limit,
                       byte_classes)
     dfa = d.run()
