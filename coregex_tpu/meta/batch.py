@@ -79,16 +79,80 @@ def _bulk_count_kernel(starts, ends, data, class_tbl, n):
     greedy selection would drop some candidate; pending means some match
     end lands mid-run (a restart start not in the candidate set)."""
     import jax
+
+    @jax.jit
+    def kernel(starts, ends, data, class_tbl, n):
+        import jax.numpy as jnp
+        valid = ends >= 0
+        e = jnp.where(valid, ends, -1).astype(jnp.int32)
+        prevmax = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(e)[:-1]])
+        overlap = jnp.any(valid & (starts < prevmax))
+        ei = jnp.clip(e, 1, n - 1)
+        in_cls = class_tbl[data[ei]] & class_tbl[data[ei - 1]]
+        pending = jnp.any(valid & (e > 0) & (e < n) & in_cls)
+        return valid.sum(dtype=jnp.int32), overlap, pending
+
+    return kernel(starts, ends, data, class_tbl, n)
+
+
+def _line_count_kernel_factory():
+    """Fused one-launch line-shape count, keyed on (lit, prefix, anchored)
+    statics so all corpora share compiles."""
+    import functools
+    import jax
     import jax.numpy as jnp
-    valid = ends >= 0
-    e = jnp.where(valid, ends, -1).astype(jnp.int32)
-    prevmax = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(e)[:-1]])
-    overlap = jnp.any(valid & (starts < prevmax))
-    ei = jnp.clip(e, 1, n - 1)
-    in_cls = class_tbl[data[ei]] & class_tbl[data[ei - 1]]
-    pending = jnp.any(valid & (e > 0) & (e < n) & in_cls)
-    return valid.sum(dtype=jnp.int32), overlap, pending
+
+    @functools.partial(jax.jit,
+                       static_argnames=("lit", "prefix", "line_anchored"))
+    def kernel(data, lit, prefix, line_anchored):
+        from ..ops.bytescan import _memmem_mask, line_bound_arrays
+        n = data.shape[0]
+        k = len(lit)
+        cand = _memmem_mask(data, lit)
+        prev_nl, next_nl = line_bound_arrays(data)
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        valid = cand & (idxs + k <= next_nl)
+        if line_anchored and len(prefix):
+            prefix_at = _memmem_mask(data, prefix)
+            is_ls = (idxs == 0) | (data[jnp.maximum(idxs - 1, 0)]
+                                   == np.uint8(10))
+            lg = jax.lax.cummax(jnp.where(is_ls & prefix_at, idxs, -1))
+            line_good = lg == (prev_nl + 1)
+            valid = valid & line_good & (idxs >= prev_nl + 1 + len(prefix))
+        pv = jax.lax.cummax(jnp.where(valid, idxs, -1))
+        pv_excl = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), pv[:-1]])
+        first_in_line = valid & (pv_excl <= prev_nl)
+        return first_in_line.sum(dtype=jnp.int32)
+
+    return kernel
+
+
+_line_count_kernel = None
+
+
+def _prefix_run_cand_kernel_factory():
+    """Fused candidate mask + count for PREFIX_RUN (class ranges + sieve
+    statics)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("cls_ranges", "sieve"))
+    def kernel(data, cls_ranges, sieve):
+        from ..ops.bytescan import _range_mask, _run_masks
+        from ..ops.sieve import sieve_mask
+        mask = _range_mask(data, cls_ranges)
+        smask, _ = _run_masks(mask)
+        if sieve:
+            smask = smask & sieve_mask(data, sieve)
+        return smask, smask.sum(dtype=jnp.int32)
+
+    return kernel
+
+
+_prefix_run_cand_kernel = None
 
 
 class BatchEngine:
@@ -213,12 +277,9 @@ class BatchEngine:
             if not literal_self_overlaps(lit):
                 return memmem_count(dev, lit)
         if strat == Strategy.MULTI_LITERAL:
-            from ..ops.bytescan import (_multi_literal_scan,
-                                        _multi_nonoverlap_count)
+            from ..ops.bytescan import _multi_count_kernel
             lits = tuple(tuple(l) for l in self.plan.literals)
-            best, blen = _multi_literal_scan(dev, lits)
-            cnt, overlap = jax.device_get(
-                _multi_nonoverlap_count(best, blen))
+            cnt, overlap = jax.device_get(_multi_count_kernel(dev, lits))
             if not bool(overlap):
                 return int(cnt)
         if strat == Strategy.PREFIX_RUN:
@@ -236,24 +297,32 @@ class BatchEngine:
         return np.array(self.plan.prefix_run.table, dtype=bool)
 
     def _prefix_run_candidates_mask(self, dev):
-        """Device mask of run-start candidates, sharpened by the
-        offset-byte-range sieve (Teddy/digit prefilter analogue)."""
-        from ..ops.bytescan import _class_mask_from_table, _run_masks
-        from ..ops.sieve import sieve_mask
-        table = self._prefix_run_table()
-        mask = _class_mask_from_table(dev, table)
-        smask, _ = _run_masks(mask)
-        rs = self._sieve_ranges()
-        if rs:
-            smask = smask & sieve_mask(dev, tuple(rs))
-        return smask
+        """Device mask + count of run-start candidates, sharpened by the
+        offset-byte-range sieve (Teddy/digit prefilter analogue); one
+        fused launch."""
+        global _prefix_run_cand_kernel
+        from ..ops.bytescan import table_to_ranges
+        if _prefix_run_cand_kernel is None:
+            _prefix_run_cand_kernel = _prefix_run_cand_kernel_factory()
+        cls_ranges = table_to_ranges(self._prefix_run_table())
+        sieve = tuple(tuple(r) for r in self._sieve_ranges())
+        smask, cnt = _prefix_run_cand_kernel(dev, cls_ranges, sieve)
+        return smask, cnt
 
     def _prefix_run_spans(self, dev, data, n, limit) -> np.ndarray:
-        from ..ops.bytescan import mask_positions
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import _bucket, _mask_nonzero
         from ..ops.dfa_scan import WindowScanner
         table = self._prefix_run_table()
-        smask = self._prefix_run_candidates_mask(dev)
-        cand = mask_positions(smask)
+        smask, cnt_dev = self._prefix_run_candidates_mask(dev)
+        cnt = int(jax.device_get(cnt_dev))
+        if cnt == 0:
+            cand = np.empty(0, dtype=np.int64)
+        else:
+            cap = _bucket(cnt, 16)
+            cand = np.asarray(jax.device_get(
+                _mask_nonzero(smask, cap)))[:cnt].astype(np.int64)
         if len(cand) == 0:
             return np.empty((0, 2), dtype=np.int64)
         if len(cand) > max(n // 6, 1024):
@@ -281,11 +350,11 @@ class BatchEngine:
         bulk conditions (no overlaps, no mid-run restarts) fail."""
         import jax
         import jax.numpy as jnp
-        from ..ops.bytescan import _bucket, _mask_nonzero, mask_count
+        from ..ops.bytescan import _bucket, _mask_nonzero
         from ..ops.dfa_scan import WindowScanner
         table = self._prefix_run_table()
-        smask = self._prefix_run_candidates_mask(dev)
-        cnt = int(jax.device_get(mask_count(smask)))
+        smask, cnt_dev = self._prefix_run_candidates_mask(dev)
+        cnt = int(jax.device_get(cnt_dev))
         if cnt == 0:
             return 0
         if cnt > max(n // 6, 1024):
@@ -379,19 +448,20 @@ class BatchEngine:
         return valid, prev_nl, next_nl
 
     def _line_shape_count_device(self, dev, n) -> Optional[int]:
-        """Device-only line-shape count: one match per candidate line."""
+        """Device-only line-shape count: one match per candidate line,
+        one fused launch."""
         import jax
-        import jax.numpy as jnp
+        global _line_count_kernel
         sp = self.plan.split
         a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
         if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
             return None  # single-match shapes: spans path is trivial
-        valid, prev_nl, _ = self._line_valid_mask(dev, n)
-        idxs = jnp.arange(n, dtype=jnp.int32)
-        pv = jax.lax.cummax(jnp.where(valid, idxs, -1))
-        pv_excl = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pv[:-1]])
-        first_in_line = valid & (pv_excl <= prev_nl)
-        return int(jax.device_get(first_in_line.sum(dtype=jnp.int32)))
+        if _line_count_kernel is None:
+            _line_count_kernel = _line_count_kernel_factory()
+        return int(jax.device_get(_line_count_kernel(
+            dev, tuple(sp.lit),
+            tuple(sp.prefix_literal) if sp.line_anchored else (),
+            sp.line_anchored)))
 
     def _line_shape_spans(self, dev, data, n, limit) -> np.ndarray:
         import jax

@@ -88,11 +88,23 @@ def memmem(data: jnp.ndarray, needle: bytes) -> np.ndarray:
     return mask_positions(_memmem_mask(data, tuple(needle)))
 
 
+@functools.partial(jax.jit, static_argnames=("needle",))
+def _memmem_count_kernel(data: jnp.ndarray, needle):
+    return _memmem_mask(data, needle).sum(dtype=jnp.int32)
+
+
 def memmem_count(data: jnp.ndarray, needle: bytes) -> int:
-    """Occurrence count, one scalar sync (overlaps included)."""
+    """Occurrence count: one fused launch, one scalar sync."""
     if len(needle) == 0 or len(needle) > int(data.shape[0]):
         return 0
-    return int(jax.device_get(mask_count(_memmem_mask(data, tuple(needle)))))
+    return int(jax.device_get(_memmem_count_kernel(data, tuple(needle))))
+
+
+@functools.partial(jax.jit, static_argnames=("lits",))
+def _multi_count_kernel(data: jnp.ndarray, lits):
+    """Fused multi-literal (count, any_overlap) in one launch."""
+    best, blen = _multi_literal_scan(data, lits)
+    return _multi_nonoverlap_count(best, blen)
 
 
 def literal_self_overlaps(lit: bytes) -> bool:
@@ -170,9 +182,8 @@ def _multi_nonoverlap_count(best, blen):
     return cnt, overlap
 
 
-def _class_mask_from_table(data: jnp.ndarray, table: np.ndarray):
-    """Membership via range compares (gather-free): the 256-entry table is
-    decomposed into its byte ranges host-side."""
+def table_to_ranges(table) -> Tuple[Tuple[int, int], ...]:
+    """256-entry membership table -> inclusive byte ranges."""
     ranges = []
     b = 0
     while b < 256:
@@ -184,7 +195,13 @@ def _class_mask_from_table(data: jnp.ndarray, table: np.ndarray):
             b = e + 1
         else:
             b += 1
-    return _range_mask(data, tuple(ranges))
+    return tuple(ranges)
+
+
+def _class_mask_from_table(data: jnp.ndarray, table: np.ndarray):
+    """Membership via range compares (gather-free): the 256-entry table is
+    decomposed into its byte ranges host-side."""
+    return _range_mask(data, table_to_ranges(table))
 
 
 @functools.partial(jax.jit, static_argnames=("ranges",))

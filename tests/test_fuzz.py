@@ -1,0 +1,72 @@
+"""Randomized differential conformance (fuzz_stdlib_test.go analogue):
+generate random patterns from a Go-safe grammar + random texts, require
+span equality with the oracle across find/find_all."""
+
+import random
+
+import pytest
+
+from coregex_tpu.meta.engine import Engine
+
+from helpers import compile_oracle, go_all_matches, oracle_search
+
+ATOMS = ["a", "b", "c", "x", "1", "2", r"\d", r"\w", r"\s", ".",
+         "[ab]", "[a-c]", "[^a]", "[0-9a-f]"]
+ANCHOR_ATOMS = [r"\b", r"\B"]
+QUANTS = ["", "", "", "*", "+", "?", "{1,3}", "{2}", "*?", "+?"]
+
+
+def gen_pattern(rng: random.Random, depth: int = 0) -> str:
+    n = rng.randint(1, 4)
+    parts = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.12 and depth < 2:
+            inner = gen_pattern(rng, depth + 1)
+            wrap = rng.choice(["({})", "(?:{})"])
+            # no quantifier on groups: Python's backtracking oracle goes
+            # exponential on nested quantifiers like (a*)+
+            parts.append(wrap.format(inner))
+        elif r < 0.2 and depth < 2:
+            a = gen_pattern(rng, depth + 1)
+            b = gen_pattern(rng, depth + 1)
+            parts.append(f"(?:{a}|{b})")
+        elif r < 0.25:
+            parts.append(rng.choice(ANCHOR_ATOMS))
+        else:
+            parts.append(rng.choice(ATOMS) + rng.choice(QUANTS))
+    return "".join(parts)
+
+
+def gen_text(rng: random.Random) -> bytes:
+    alphabet = b"aabbccxx112  .\n-f"
+    n = rng.randint(0, 40)
+    return bytes(rng.choice(alphabet) for _ in range(n))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_differential(seed):
+    rng = random.Random(seed * 7919 + 13)
+    for it in range(25):
+        pat = gen_pattern(rng)
+        try:
+            eng = Engine.compile(pat)
+            rx = compile_oracle(pat)
+        except Exception:
+            continue  # oracle-incompatible pattern; skip
+        for _ in range(6):
+            text = gen_text(rng)
+            if r"\B" in pat and text == b"":
+                # Go: \B matches the empty string (both sides non-word);
+                # Python's re does not — ours follows Go.
+                continue
+            exp = oracle_search(rx, text)
+            got = eng.find_index(text)
+            assert got == exp, (
+                f"seed={seed} it={it} find p={pat!r} t={text!r}: "
+                f"{got} vs {exp}")
+            exp_all = go_all_matches(rx, text)
+            got_all = eng.find_all_index(text) or []
+            assert got_all == exp_all, (
+                f"seed={seed} it={it} findall p={pat!r} t={text!r}: "
+                f"{got_all} vs {exp_all}")
