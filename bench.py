@@ -76,7 +76,7 @@ def main():
     # The runtime has a ~28 ms per-launch round-trip floor; a 48 MB corpus
     # amortizes fixed dispatch costs so the number reflects scan
     # throughput, and vs_baseline compares per-6MB-equivalent times.
-    corpus = build_corpus(size=48 * 1024 * 1024)
+    corpus = build_corpus(size=192 * 1024 * 1024)
     n = len(corpus)
     arr = np.frombuffer(corpus, dtype=np.uint8)
     scale = (n / 1e6) / REF_MB
