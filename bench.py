@@ -11,15 +11,29 @@ Details per config go to stderr.
 
 import json
 import math
+import os
 import sys
 import time
 
 import numpy as np
 
+# Wall-clock budget: emit the JSON line with whatever completed rather than
+# being killed by an external timeout (remote kernel compiles can queue for
+# minutes on a cold compile cache).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_T0 = time.time()
+
 
 def build_corpus(size=6 * 1024 * 1024, seed=7) -> bytes:
     """Log-like corpus: paths, IPs, emails, versions, keywords — modeled on
-    the kolkov/regex-bench style input the reference's README numbers use."""
+    the kolkov/regex-bench style input the reference's README numbers use.
+    Built once at 6 MB and tiled to the target size (content statistics are
+    what matter for throughput)."""
+    base_size = 6 * 1024 * 1024
+    if size > base_size:
+        base = build_corpus(base_size, seed)
+        reps = -(-size // len(base))
+        return (base * reps)[:size]
     rng = np.random.default_rng(seed)
     words = [
         b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy",
@@ -89,6 +103,9 @@ def main():
     gbps_all = []
     results = {}
     for name, pattern, ref_ms, src in CONFIGS:
+        if time.time() - _T0 > BUDGET_S:
+            print(f"  {name}: skipped (budget)", file=sys.stderr)
+            continue
         eng = Engine.compile(pattern)
         eng.batch_threshold = 0
         # warmup (jit compile)
@@ -115,6 +132,11 @@ def main():
               f"  [{eng.strategy}]  warm={warm:.1f}s",
               file=sys.stderr)
 
+    if not gbps_all:
+        print(json.dumps({"metric": "bench budget exhausted before any "
+                          "config completed", "value": 0.0,
+                          "unit": "GB/s", "vs_baseline": 0.0}))
+        return
     geomean_gbps = math.exp(sum(math.log(g) for g in gbps_all)
                             / len(gbps_all))
     vs_baseline = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
