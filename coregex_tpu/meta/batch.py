@@ -158,13 +158,25 @@ _prefix_run_cand_kernel = None
 class BatchEngine:
     """Per-pattern batch execution plan + device artifacts."""
 
-    def __init__(self, parsed: Parsed, ast: Node, dfas_ok: bool):
+    def __init__(self, parsed: Parsed, ast: Node, dfas_ok: bool,
+                 longest: bool = False):
         self.parsed = parsed
         self.ast = ast
+        self.longest = longest
         self.plan: Plan = select(ast, dfas_ok)
+        if longest and self.plan.strategy == Strategy.MULTI_LITERAL:
+            # POSIX picks the longest alternative at a position, not the
+            # first: reorder the literal priority by length (stable)
+            self.plan.literals = sorted(
+                self.plan.literals, key=len, reverse=True)
         self._ddfa_cache: Dict[str, object] = {}
         self._host_dense: Dict[str, object] = {}
         self._sieve = None
+
+    def _verify_kind(self) -> str:
+        """Anchored verification DFA: leftmost-first uses break-at-match;
+        POSIX longest keeps all matches and takes the last flag."""
+        return "fwd_anch_all" if self.longest else "fwd_anch_break"
 
     # -- artifact builders (lazy) ---------------------------------------
     def _dense(self, kind: str):
@@ -188,6 +200,9 @@ class BatchEngine:
         elif kind == "fwd_anch_break":
             nfa = compile_nfa(self.parsed, with_captures=False)
             d = determinize(nfa, anchored=True, break_at_match=True)
+        elif kind == "fwd_anch_all":
+            nfa = compile_nfa(self.parsed, with_captures=False)
+            d = determinize(nfa, anchored=True, break_at_match=False)
         elif kind == "rev_prefix":
             # reverse DFA of (A · lit) for inner-candidate start discovery
             sub = Parsed(self.plan.split.prefix_ast, 0, [],
@@ -208,9 +223,9 @@ class BatchEngine:
         """Cached offset byte-range sieve from the anchored DFA."""
         if self._sieve is None:
             from ..ops.sieve import offset_byte_ranges
-            self._dense("fwd_anch_break")
-            self._sieve = offset_byte_ranges(
-                self._host_dense["fwd_anch_break"])
+            kind = self._verify_kind()
+            self._dense(kind)
+            self._sieve = offset_byte_ranges(self._host_dense[kind])
         return self._sieve
 
     # -- public entry points --------------------------------------------
@@ -327,7 +342,7 @@ class BatchEngine:
             return np.empty((0, 2), dtype=np.int64)
         if len(cand) > max(n // 6, 1024):
             return self._full_scan_spans(dev, data, n, limit)
-        ws = WindowScanner(self._dense("fwd_anch_break"), init_window=32)
+        ws = WindowScanner(self._dense(self._verify_kind()), init_window=32)
         # fixpoint expansion: a match end landing mid-run is itself a
         # possible restart start (leading [c]+ makes true starts closed
         # leftward within a run; see PrefixRunShape)
@@ -362,7 +377,7 @@ class BatchEngine:
         cap = _bucket(cnt)
         starts_dev = jnp.minimum(_mask_nonzero(smask, cap),
                                  n).astype(jnp.int32)
-        ws = WindowScanner(self._dense("fwd_anch_break"), init_window=32)
+        ws = WindowScanner(self._dense(self._verify_kind()), init_window=32)
         ends_dev = ws.ends_for_starts_device(dev, starts_dev, cnt)
         tbl_dev = jnp.asarray(table)
         count, overlap, pending = jax.device_get(
@@ -597,7 +612,7 @@ class BatchEngine:
         starts = self._rev_start_flags(dev, data, n, cand + k)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
-        ws = WindowScanner(self._dense("fwd_anch_break"))
+        ws = WindowScanner(self._dense(self._verify_kind()))
         ends = ws.ends_for_starts(dev, starts)
         keep = ends >= 0
         return go_select(starts[keep], ends[keep], n, data, limit)
@@ -632,7 +647,7 @@ class BatchEngine:
         starts = self._all_starts(dev, data, n)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
-        ws = WindowScanner(self._dense("fwd_anch_break"))
+        ws = WindowScanner(self._dense(self._verify_kind()))
         ends = ws.ends_for_starts(dev, starts)
         keep = ends >= 0
         return go_select(starts[keep], ends[keep], n, data, limit)

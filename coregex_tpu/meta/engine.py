@@ -132,7 +132,8 @@ class Engine:
         if self._batch is None:
             from .batch import BatchEngine
             self._batch = BatchEngine(self.parsed, self.parsed.ast,
-                                      dfas_ok=self.fwd is not None)
+                                      dfas_ok=self.fwd is not None,
+                                      longest=self.longest)
         return self._batch
 
     @property
@@ -145,7 +146,7 @@ class Engine:
         return self.batch_engine().plan.reason
 
     def _use_batch(self, arr: np.ndarray) -> bool:
-        if self.longest or len(arr) < self.batch_threshold:
+        if len(arr) < self.batch_threshold:
             return False
         from .strategy import Strategy
         return self.batch_engine().plan.strategy != Strategy.HOST

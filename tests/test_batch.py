@@ -88,3 +88,20 @@ def test_small_input_uses_host():
     eng = Engine.compile(r"abc")
     assert eng.find_index(b"xxabc") == (2, 5)
     assert eng.stats.kernel_scans == 0
+
+
+@pytest.mark.parametrize("pattern", [
+    r"error|warning|info", r"abc|abcd|ab", r"[a-z]+", r"\d+\.\d+",
+    r".*keyword.*", r"error", r"fox|foxes"])
+def test_batch_posix_longest_matches_host(pattern):
+    host = Engine.compile(pattern, longest=True)
+    host.batch_threshold = 1 << 62
+    batch = Engine.compile(pattern, longest=True)
+    batch.batch_threshold = 0
+    small = CORPUS[:30_000]
+    exp = host.find_all_index(small) or []
+    got = batch.find_all_index(small) or []
+    assert got == exp, (
+        f"{pattern}: POSIX batch {len(got)} vs host {len(exp)}; "
+        f"first diff {next(((g, e) for g, e in zip(got, exp) if g != e), None)}")
+    assert batch.count(small) == host.count(small)
