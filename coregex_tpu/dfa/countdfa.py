@@ -1,0 +1,232 @@
+"""Count transducer: Go's FindAll restart loop compiled into ONE weighted DFA.
+
+The reference counts matches by repeatedly running its leftmost-first search
+and restarting at each match end (meta/findall.go:297-376 Count over the
+same loop as FindAllIndicesStreaming).  That loop is branchy and sequential;
+on TPU we instead observe that the *entire* restart process is itself a
+deterministic finite-state transduction of the input:
+
+  product state = a chain of "search frames", each a state of the
+  unanchored leftmost-first DFA U (break-at-match determinization):
+    frame 0     — the active search whose flags decide match ends;
+    frames 1..k — searches restarted at earlier frames' latest flags
+                  (every frame except the last has flagged; the last is the
+                  pre-flag spawn search, which can never die).
+
+  On each byte: the first flagging frame truncates the chain behind it and
+  spawns a fresh restart frame; all frames step; dead frames at the front
+  commit one match each and shift off.  At end of input every flagged frame
+  commits (match_eoi may extend the foremost flag to n first).
+
+Eagerly determinizing this process yields a dense table
+  delta[S,C], emit[S,C]  (matches committed on the transition),
+  eoi_commits[S,4]       (matches committed at a window edge, per context)
+so `Count` becomes a single data-parallel scan summing `emit` — the same
+kernel shape as the plain DFA scan, with exact Go span semantics baked in.
+
+Frame chains can explode for pathological patterns (`a.*b|a` grows a frame
+per input byte); construction caps chain length and state count and returns
+None, and the engine falls back to the two-pass span pipeline.
+
+Reference semantics mirrored: leftmost-first ends = last flag before death
+(dfa/lazy/lazy.go search loops + break-at-match builder.go:172-239);
+restart-at-match-end non-overlap rule (regex.go allMatches).  Only valid
+for non-nullable patterns (no empty matches) in leftmost-first mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..nfa.nfa import WORD_BYTES
+from .dense import CTX_NL, CTX_OTHER, CTX_SOT, CTX_WORD, DEAD, DenseDFA
+
+DEFAULT_CHAIN_LIMIT = 12
+DEFAULT_STATE_LIMIT = 4096
+EMIT_LIMIT = 31  # emit packs into 5 bits next to delta in device tables
+
+
+@dataclass
+class CountDFA:
+    delta: np.ndarray        # [S, C] int32
+    emit: np.ndarray         # [S, C] int16  (commits on the transition)
+    eoi_commits: np.ndarray  # [S, 4] int16  (commits at edge, per context)
+    starts: np.ndarray       # [4] int32
+    classes: np.ndarray      # [256] int32
+    pattern: str = ""
+    max_chain: int = 1
+
+    @property
+    def num_states(self) -> int:
+        return self.delta.shape[0]
+
+    @property
+    def num_classes(self) -> int:
+        return self.delta.shape[1]
+
+    def count_scan(self, data: np.ndarray, eoi_ctx: int = CTX_SOT) -> int:
+        """Host oracle: sequential scan accumulating emissions."""
+        s = int(self.starts[CTX_SOT])
+        total = 0
+        delta, emit = self.delta, self.emit
+        for c in self.classes[np.asarray(data, dtype=np.uint8)]:
+            total += int(emit[s, c])
+            s = delta[s, c]
+        return total + int(self.eoi_commits[s, eoi_ctx])
+
+    def nbytes(self) -> int:
+        return (self.delta.nbytes + self.emit.nbytes +
+                self.eoi_commits.nbytes + self.starts.nbytes +
+                self.classes.nbytes)
+
+
+# Frames are run-length compressed: ((u_state, multiplicity), ...).  Equal
+# adjacent frames evolve identically forever, so a run commits
+# `multiplicity` matches when it dies at the front of the chain.
+_Frames = Tuple[Tuple[int, int], ...]
+_Key = Tuple[_Frames, int]
+
+
+def build_count_dfa(u: DenseDFA,
+                    chain_limit: int = DEFAULT_CHAIN_LIMIT,
+                    state_limit: int = DEFAULT_STATE_LIMIT
+                    ) -> Optional[CountDFA]:
+    """Build the count transducer from the unanchored leftmost-first DFA.
+
+    `u` must be unanchored with break_at_match=True and the pattern must be
+    non-nullable (the caller guarantees both).  Returns None when the frame
+    chain or product state count exceeds its limit.
+    """
+    if u.anchored or not u.break_at_match:
+        raise ValueError("count DFA requires the unanchored "
+                         "break-at-match forward DFA")
+    C = u.num_classes
+    delta_u = u.delta
+    match_u = u.match_on
+    eoi_u = u.match_eoi
+    starts_u = u.starts
+
+    # class -> context of a byte of that class (for restart start states)
+    rep = [0] * C
+    for b in range(255, -1, -1):
+        rep[int(u.classes[b])] = b
+    ctx_of_cls = [
+        CTX_WORD if WORD_BYTES[rb] else (CTX_NL if rb == 10 else CTX_OTHER)
+        for rb in rep
+    ]
+    needs_ctx = not (int(starts_u[0]) == int(starts_u[1])
+                     == int(starts_u[2]) == int(starts_u[3]))
+
+    key_to_id = {}
+    keys: List[_Key] = []
+    dead_key: _Key = ((), 0)
+    key_to_id[dead_key] = DEAD
+    keys.append(dead_key)
+
+    def intern(k: _Key) -> Optional[int]:
+        i = key_to_id.get(k)
+        if i is None:
+            i = len(keys)
+            if i > state_limit:
+                return None
+            key_to_id[k] = i
+            keys.append(k)
+        return i
+
+    starts = np.zeros(4, dtype=np.int32)
+    for ctx in range(4):
+        k: _Key = (((int(starts_u[ctx]), 1),), ctx if needs_ctx else 0)
+        sid = intern(k)
+        if sid is None:
+            return None
+        starts[ctx] = sid
+
+    rows_d: List[np.ndarray] = []
+    rows_e: List[np.ndarray] = []
+    rows_eoi: List[np.ndarray] = []
+    max_chain = 1
+    i = 0
+    while i < len(keys):
+        frames, pctx = keys[i]
+        drow = np.zeros(C, dtype=np.int32)
+        erow = np.zeros(C, dtype=np.int16)
+        eoirow = np.zeros(4, dtype=np.int16)
+        if frames:
+            total_mult = sum(m for _, m in frames)
+            max_chain = max(max_chain, total_mult)
+            for c in range(C):
+                # 1. first flagging (expanded) frame truncates + respawns
+                out: List[Tuple[int, int]] = []
+                flagged = False
+                for (s, m) in frames:
+                    if match_u[s, c]:
+                        out.append((s, 1))
+                        flagged = True
+                        break
+                    out.append((s, m))
+                if flagged:
+                    out.append((int(starts_u[pctx if needs_ctx
+                                             else CTX_SOT]), 1))
+                # 2. step every frame
+                merged: List[Tuple[int, int]] = []
+                for (s, m) in out:
+                    ns = int(delta_u[s, c])
+                    if merged and merged[-1][0] == ns:
+                        merged[-1] = (ns, merged[-1][1] + m)
+                    else:
+                        merged.append((ns, m))
+                # 3. dead frames at the front commit and shift off
+                commits = 0
+                while merged and merged[0][0] == DEAD:
+                    s, m = merged[0]
+                    if len(merged) == 1:
+                        # all frames dead: the last (pre-flag) frame should
+                        # be immortal; commit the flagged ones and absorb
+                        commits += m - 1
+                        merged = []
+                        break
+                    commits += m
+                    merged.pop(0)
+                if commits > EMIT_LIMIT:
+                    return None
+                if sum(m for _, m in merged) > chain_limit:
+                    return None
+                if not merged:
+                    nk = dead_key
+                else:
+                    nk = (tuple(merged),
+                          ctx_of_cls[c] if needs_ctx else 0)
+                nid = intern(nk)
+                if nid is None:
+                    return None
+                drow[c] = nid
+                erow[c] = commits
+            for ctx in range(4):
+                # first EOI-flagging frame truncates; every flagged frame
+                # (all but the last) commits
+                commits = None
+                pos = 0
+                for (s, m) in frames:
+                    if eoi_u[s, ctx]:
+                        commits = pos + 1
+                        break
+                    pos += m
+                eoirow[ctx] = (commits if commits is not None
+                               else total_mult - 1)
+        rows_d.append(drow)
+        rows_e.append(erow)
+        rows_eoi.append(eoirow)
+        i += 1
+
+    return CountDFA(
+        delta=np.stack(rows_d),
+        emit=np.stack(rows_e),
+        eoi_commits=np.stack(rows_eoi),
+        starts=starts,
+        classes=u.classes.astype(np.int32),
+        pattern=u.pattern,
+        max_chain=max_chain,
+    )

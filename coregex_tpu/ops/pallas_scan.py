@@ -62,7 +62,7 @@ def _kernel(delta_ref, match_ref, true_steps_ref, entries_ref, offsets_ref,
         flags_ref[t] = (flg * live.astype(jnp.int32)).astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, Tt, step, 0, unroll=4)
+    jax.lax.fori_loop(0, Tt, step, 0, unroll=1)
     exits_ref[:] = state_scr[:]
 
 
