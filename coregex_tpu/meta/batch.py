@@ -172,6 +172,7 @@ class BatchEngine:
         self._ddfa_cache: Dict[str, object] = {}
         self._host_dense: Dict[str, object] = {}
         self._sieve = None
+        self._count_sc = None  # lazy CountScanner; False == unavailable
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -273,10 +274,30 @@ class BatchEngine:
         exit_n = sc._exit_at_n(dev, exits, L, T, n)
         return bool(fwd.host_eoi[exit_n, CTX_SOT])
 
+    def _count_scanner(self):
+        """Lazy CountScanner over the FindAll-count transducer
+        (dfa/countdfa.py); False when the pattern is out of scope
+        (nullable, POSIX-longest, or chain/state overflow)."""
+        if self._count_sc is None:
+            self._count_sc = False
+            if not self.longest and not self.plan.nullable:
+                from ..dfa.countdfa import build_count_dfa
+                from ..ops.count_scan import CountScanner
+                try:
+                    nfa = compile_nfa(self.parsed, with_captures=False)
+                    u = determinize(nfa, anchored=False,
+                                    break_at_match=True)
+                except DFAOverflow:
+                    return self._count_sc
+                cd = build_count_dfa(u)
+                if cd is not None:
+                    self._count_sc = CountScanner(cd)
+        return self._count_sc
+
     def count(self, data: np.ndarray) -> int:
         """Match count with device-side fast paths (Count,
-        meta/findall.go:297 analogue): most strategies reduce to one or two
-        scalar syncs without materializing spans."""
+        meta/findall.go:297 analogue): most strategies reduce to a single
+        launch + one scalar sync without materializing spans."""
         import jax
         from ..utils.corpus_cache import device_corpus
         strat = self.plan.strategy
@@ -297,6 +318,12 @@ class BatchEngine:
             cnt, overlap = jax.device_get(_multi_count_kernel(dev, lits))
             if not bool(overlap):
                 return int(cnt)
+        # universal single-launch path: the count transducer scan
+        sc = self._count_scanner()
+        if sc:
+            c = sc.count(dev)
+            if c is not None:
+                return c
         if strat == Strategy.PREFIX_RUN:
             c = self._prefix_run_count_device(dev, data, len(data))
             if c is not None:

@@ -1,0 +1,385 @@
+"""Single-launch corpus count scan for the CountDFA transducer.
+
+The count transducer (dfa/countdfa.py) turns Go's FindAll loop into a
+weighted DFA; this module scans a whole corpus through it in ONE device
+launch and returns (count, converged):
+
+  * the corpus splits into L = 8*Lc lanes of T bytes; each lane walks its
+    chunk through the packed [delta|emit] table and accumulates emissions;
+  * lanes first warm up over the W-byte tail of the previous lane from a
+    guessed entry state; an in-jit fixpoint (lax.while_loop) rescans lanes
+    whose entry disagrees with the previous lane's exit, so the result is
+    exactly the sequential scan's (same repair scheme as dfa_scan);
+  * the byte stream is packed 4-per-int32 word host-layout (little endian)
+    and pre-transposed once per corpus into time-major [T4, 8, Lc] tiles
+    cached on device, so the kernel streams VMEM tiles with no transposes
+    or gathers in the hot loop;
+  * the per-byte step is a select tree over the packed table
+    (value = delta*32 + emit) with byte->segment mapping via boundary
+    compares — no gathers, pure VPU (the TPU re-expression of the
+    reference's one-gather hot loop, dfa/lazy/lazy.go:602-673).
+
+impl="pallas" runs the Mosaic kernel (TPU); impl="gather" is the XLA path
+used on CPU (tests) where dynamic gathers are fine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dfa.countdfa import CountDFA
+from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_SOT, CTX_WORD
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _impl_default() -> str:
+    import os
+    env = os.environ.get("COREGEX_TPU_COUNT_IMPL")
+    if env in ("pallas", "gather"):
+        return env
+    return "pallas" if (jax.default_backend() == "tpu" and HAVE_PALLAS) \
+        else "gather"
+
+
+# ---------------------------------------------------------------------------
+# Device tables (segment-expanded, packed)
+# ---------------------------------------------------------------------------
+
+class DeviceCountDFA:
+    """CountDFA tables uploaded once: packed [S, NSEG] int32 where
+    value = delta*32 + emit, plus segment boundaries for the byte map."""
+
+    def __init__(self, cd: CountDFA):
+        self.cd = cd
+        classes = cd.classes
+        bounds = [b for b in range(1, 256) if classes[b] != classes[b - 1]]
+        seg_starts = [0] + bounds
+        seg_cls = np.array([classes[b] for b in seg_starts], dtype=np.int64)
+        delta_seg = cd.delta[:, seg_cls].astype(np.int32)
+        emit_seg = cd.emit[:, seg_cls].astype(np.int32)
+        packed = delta_seg * 32 + emit_seg
+        self.S = int(cd.delta.shape[0])
+        self.NSEG = len(seg_starts)
+        self.NB = len(bounds)
+        self.bounds_host = np.asarray(bounds, dtype=np.int32)
+        self.packed_host = packed
+        self.packed = jnp.asarray(packed)
+        self.bounds = jnp.asarray(self.bounds_host)
+        self.starts = jnp.asarray(cd.starts, dtype=jnp.int32)
+        self.eoi = jnp.asarray(cd.eoi_commits, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Geometry + corpus tiling (cached on device per corpus)
+# ---------------------------------------------------------------------------
+
+def plan_geometry(n: int, lc: int = 1024, tile_bytes: int = 256,
+                  warmup: int = 64) -> Tuple[int, int, int, int]:
+    """Returns (L, T, W, Lc).  T is a multiple of tile_bytes (and 4); W a
+    multiple of 4.  Small inputs shrink the lane count."""
+    while lc > 128 and 8 * lc * tile_bytes > 4 * max(n, 1):
+        lc //= 2
+    L = 8 * lc
+    T = -(-n // L)
+    T = -(-T // tile_bytes) * tile_bytes
+    W = min(warmup, T)
+    W = max(4, (W // 4) * 4)
+    return L, T, W, lc
+
+
+@functools.partial(jax.jit, static_argnames=("L", "T4"))
+def _make_word_tiles(data_u8: jnp.ndarray, L: int, T4: int):
+    """[n] u8 -> time-major word tiles [T4, 8, Lc] int32 (little-endian
+    4-byte packing, zero-padded).  One-time per (corpus, geometry)."""
+    n = data_u8.shape[0]
+    pad = L * T4 * 4 - n
+    d = jnp.pad(data_u8, (0, pad)).astype(jnp.int32).reshape(L, T4, 4)
+    w = (d[:, :, 0] | (d[:, :, 1] << 8) | (d[:, :, 2] << 16)
+         | (d[:, :, 3] << 24))
+    Lc = L // 8
+    return w.T.reshape(T4, 8, Lc)
+
+
+def corpus_word_tiles(data_u8: jnp.ndarray, L: int, T: int):
+    """Cached tiles keyed by (buffer id, geometry)."""
+    key = (id(data_u8), L, T)
+    ent = _tiles_cache.get(key)
+    if ent is None:
+        ent = _make_word_tiles(data_u8, L, T // 4)
+        _tiles_cache[key] = ent
+        while len(_tiles_cache) > 8:
+            _tiles_cache.pop(next(iter(_tiles_cache)))
+    return ent
+
+
+_tiles_cache: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _count_kernel(packed_ref, bounds_ref, entries_ref, offsets_ref,
+                  limits_ref, warm_ref, tiles_ref, counts_ref, exits_ref,
+                  state_scr, cnt_scr, *, S: int, NSEG: int, NB: int,
+                  Tt4: int, W4: int):
+    g = pl.program_id(0)
+
+    def step_bytes(word, s, cnt, live_of):
+        """Step 4 packed bytes; live_of(k) -> bool mask for sub-byte k."""
+        for k in range(4):
+            b = (word >> (8 * k)) & 255
+            c = jnp.zeros_like(b)
+            for i in range(NB):
+                c = c + (b >= bounds_ref[i]).astype(jnp.int32)
+            ceq = [c == ci for ci in range(NSEG)]
+            val = jnp.zeros_like(s)
+            for si in range(S):
+                row = jnp.zeros_like(s)
+                for ci in range(NSEG):
+                    row = jnp.where(ceq[ci], packed_ref[si, ci], row)
+                val = jnp.where(s == si, row, val)
+            live = live_of(k)
+            if cnt is not None:
+                cnt = cnt + jnp.where(live, val & 31, 0)
+            s = jnp.where(live, val >> 5, s)
+        return s, cnt
+
+    @pl.when(g == 0)
+    def _():
+        s = entries_ref[:]
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
+        offs = offsets_ref[:]
+        for tw in range(W4):
+            w = warm_ref[tw]
+            s, _ = step_bytes(
+                w, s, None, lambda k, tw=tw: (tw * 4 + k) >= offs)
+        state_scr[:] = s
+
+    def body(t, _):
+        w = tiles_ref[t]
+        s = state_scr[:]
+        cnt = cnt_scr[:]
+        base = (g * Tt4 + t) * 4
+        lim = limits_ref[:]
+        s, cnt = step_bytes(w, s, cnt, lambda k: (base + k) < lim)
+        state_scr[:] = s
+        cnt_scr[:] = cnt
+        return 0
+
+    jax.lax.fori_loop(0, Tt4, body, 0, unroll=1)
+    counts_ref[:] = cnt_scr[:]
+    exits_ref[:] = state_scr[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "NSEG", "NB", "T4", "Tt4", "W4", "Lc",
+                     "interpret"))
+def _pallas_count_once(packed, bounds, tiles, warm, entries, offsets,
+                       limits, S: int, NSEG: int, NB: int, T4: int,
+                       Tt4: int, W4: int, Lc: int, interpret: bool = False):
+    n_tiles = T4 // Tt4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        scratch_shapes=[
+            pltpu.VMEM((8, Lc), jnp.int32),
+            pltpu.VMEM((8, Lc), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # packed [S, NSEG]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds [NB]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # entries [8, Lc]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # offsets [8, Lc]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # limits  [8, Lc]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # warm [W4, 8, Lc]
+            pl.BlockSpec((Tt4, 8, Lc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # tiles
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # counts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # exits
+        ],
+    )
+    kern = functools.partial(_count_kernel, S=S, NSEG=NSEG, NB=NB,
+                             Tt4=Tt4, W4=W4)
+    counts, exits = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+        ),
+        interpret=interpret,
+    )(packed, bounds, entries, offsets, limits, warm, tiles)
+    return counts, exits
+
+
+# ---------------------------------------------------------------------------
+# Full count (warmup guess + fixpoint repair + EOI), one jit
+# ---------------------------------------------------------------------------
+
+def _byte_ctx(b):
+    is_word = (((b >= 48) & (b <= 57)) | ((b >= 65) & (b <= 90))
+               | (b == 95) | ((b >= 97) & (b <= 122)))
+    return jnp.where(is_word, CTX_WORD,
+                     jnp.where(b == 10, CTX_NL, CTX_OTHER))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "W", "S", "NSEG", "NB", "Tt4", "Lc",
+                     "impl", "max_repair", "interpret"))
+def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
+                L: int, T: int, W: int, S: int, NSEG: int, NB: int,
+                Tt4: int, Lc: int, impl: str, max_repair: int = 4,
+                interpret: bool = False):
+    """Returns (count int32, converged bool).  `tiles` is the cached
+    [T4, 8, Lc] word layout of the zero-padded corpus; `data_u8` the raw
+    corpus (for entry-context guesses only); `n` the true byte length
+    (traced, so corpora of different sizes share compiles per
+    geometry)."""
+    T4, W4 = T // 4, W // 4
+    n = jnp.int32(n)
+    sot = starts_tbl[CTX_SOT]
+
+    # warm region: the W-byte tail of the previous lane, time-major
+    tail = tiles[T4 - W4:]                        # [W4, 8, Lc]
+    flat = tail.reshape(W4, L)
+    warm = jnp.roll(flat, 1, axis=1).reshape(W4, 8, Lc)
+
+    # guessed entries from the byte before each lane's warmup region
+    lane_ids = jnp.arange(L, dtype=jnp.int32)
+    guess_pos = lane_ids * T - W - 1
+    prev_b = data_u8[jnp.clip(guess_pos, 0, data_u8.shape[0] - 1)
+                     ].astype(jnp.int32)
+    ctx = _byte_ctx(prev_b)
+    guessed = jnp.where(
+        guess_pos < 0, sot,
+        jnp.where(ctx == CTX_WORD, starts_tbl[CTX_WORD],
+                  jnp.where(ctx == CTX_NL, starts_tbl[CTX_NL],
+                            starts_tbl[CTX_OTHER])))
+    entries0 = guessed.at[0].set(sot)
+    offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
+    limits = jnp.clip(n - lane_ids * T, 0, T)
+
+    if impl == "pallas":
+        def scan_once(entries, offsets):
+            counts, exits = _pallas_count_once(
+                packed, bounds, tiles, warm,
+                entries.reshape(8, Lc), offsets.reshape(8, Lc),
+                limits.reshape(8, Lc), S=S, NSEG=NSEG, NB=NB, T4=T4,
+                Tt4=Tt4, W4=W4, Lc=Lc, interpret=interpret)
+            return counts.reshape(L), exits.reshape(L)
+    else:
+        delta_t = packed >> 5
+        emit_t = packed & 31
+
+        def classify(b):
+            return jnp.searchsorted(bounds, b, side="right").astype(
+                jnp.int32)
+
+        def scan_once(entries, offsets):
+            def body(carry, xc):
+                s, cnt = carry
+                w, is_warm, widx = xc
+                for k in range(4):
+                    b = (w >> (8 * k)) & 255
+                    c = classify(b)
+                    live = jnp.where(
+                        is_warm, (widx * 4 + k) >= offsets,
+                        (widx * 4 + k) < limits)
+                    cnt = cnt + jnp.where(live & ~is_warm, emit_t[s, c], 0)
+                    s = jnp.where(live, delta_t[s, c], s)
+                return (s, cnt), None
+
+            warm_flat = warm.reshape(W4, L)
+            main_flat = tiles.reshape(T4, L)
+            xs_w = (warm_flat, jnp.ones(W4, bool),
+                    jnp.arange(W4, dtype=jnp.int32))
+            xs_m = (main_flat, jnp.zeros(T4, bool),
+                    jnp.arange(T4, dtype=jnp.int32))
+            cnt0 = jnp.zeros((L,), jnp.int32)
+            (s1, _), _ = jax.lax.scan(body, (entries, cnt0), xs_w)
+            (s2, cnt), _ = jax.lax.scan(body, (s1, cnt0), xs_m)
+            return cnt, s2
+
+    counts0, exits0 = scan_once(entries0, offsets0)
+
+    # only lanes holding real bytes participate in the stitching chain;
+    # empty trailing lanes would otherwise need one repair round each
+    real = (lane_ids * T) < n
+
+    def want_of(exits):
+        return jnp.concatenate(
+            [sot[None].astype(jnp.int32), exits[:-1]])
+
+    def cond(st):
+        k, entries, counts, exits = st
+        return (k < max_repair) & jnp.any(
+            real & (want_of(exits) != entries))
+
+    def rep(st):
+        k, entries, counts, exits = st
+        new_entries = want_of(exits)
+        offs = jnp.full((L,), W, jnp.int32)
+        c2, e2 = scan_once(new_entries, offs)
+        return (k + 1, new_entries, c2, e2)
+
+    k, entries, counts, exits = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), entries0, counts0, exits0))
+    converged = ~jnp.any(real & (want_of(exits) != entries))
+
+    lane_n = jnp.where(n % T == 0, n // T - 1, n // T)
+    state_n = exits[jnp.clip(lane_n, 0, L - 1)]
+    total = counts.sum(dtype=jnp.int32) + eoi[state_n, CTX_SOT]
+    return total, converged
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+class CountScanner:
+    """Per-pattern device count pipeline; returns exact Go match counts."""
+
+    def __init__(self, cd: CountDFA, impl: Optional[str] = None,
+                 interpret: bool = False):
+        self.dcd = DeviceCountDFA(cd)
+        self.cd = cd
+        self.impl = impl or _impl_default()
+        self.interpret = interpret
+
+    def count(self, data_dev: jnp.ndarray,
+              geometry: Optional[Tuple[int, int, int, int]] = None
+              ) -> Optional[int]:
+        """Exact count for the device corpus, or None if boundary repair
+        failed to converge (caller falls back)."""
+        n = int(data_dev.shape[0])
+        if n == 0:
+            return int(self.cd.eoi_commits[self.cd.starts[CTX_SOT],
+                                           CTX_SOT])
+        L, T, W, Lc = geometry or plan_geometry(n)
+        d = self.dcd
+        tiles = corpus_word_tiles(data_dev, L, T)
+        total, conv = _count_full(
+            d.packed, d.bounds, d.starts, d.eoi, data_dev, tiles,
+            jnp.int32(n), L=L, T=T, W=W, S=d.S, NSEG=d.NSEG, NB=d.NB,
+            Tt4=min(64, T // 4), Lc=Lc, impl=self.impl,
+            interpret=self.interpret)
+        total, conv = jax.device_get((total, conv))
+        if not bool(conv):
+            return None
+        return int(total)
