@@ -173,6 +173,7 @@ class BatchEngine:
         self._host_dense: Dict[str, object] = {}
         self._sieve = None
         self._count_sc = None  # lazy CountScanner; False == unavailable
+        self._seq_sc = None  # lazy SeqScanner; False == unavailable
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -274,10 +275,15 @@ class BatchEngine:
         exit_n = sc._exit_at_n(dev, exits, L, T, n)
         return bool(fwd.host_eoi[exit_n, CTX_SOT])
 
+    # a select tree larger than this compiles for minutes and runs below
+    # the predicate kernels; such patterns keep the legacy pipelines
+    COUNT_TREE_LIMIT = 768
+
     def _count_scanner(self):
         """Lazy CountScanner over the FindAll-count transducer
         (dfa/countdfa.py); False when the pattern is out of scope
-        (nullable, POSIX-longest, or chain/state overflow)."""
+        (nullable, POSIX-longest, chain/state overflow, or a select tree
+        too large for the Mosaic kernel)."""
         if self._count_sc is None:
             self._count_sc = False
             if not self.longest and not self.plan.nullable:
@@ -291,8 +297,43 @@ class BatchEngine:
                     return self._count_sc
                 cd = build_count_dfa(u)
                 if cd is not None:
-                    self._count_sc = CountScanner(cd)
+                    sc = CountScanner(cd)
+                    if sc.dcd.S * sc.dcd.NSEG <= self.COUNT_TREE_LIMIT \
+                            or sc.impl != "pallas":
+                        self._count_sc = sc
         return self._count_sc
+
+    def _seq_scanner(self):
+        """Lazy predicate sequential scanner (ops/seq_scan.py) for the
+        literal-set and line-shape count strategies; False when the
+        shape or backend is out of scope."""
+        if self._seq_sc is None:
+            self._seq_sc = False
+            import jax
+            from ..ops.seq_scan import MODE_LINE, MODE_MULTI, SeqScanner
+            if jax.default_backend() != "tpu":
+                return self._seq_sc
+            strat = self.plan.strategy
+            if strat in (Strategy.LITERAL, Strategy.MULTI_LITERAL):
+                nds = self.plan.literals
+                if SeqScanner.supported(nds):
+                    self._seq_sc = SeqScanner(MODE_MULTI, nds)
+            elif strat == Strategy.LINE_SHAPE and not self.longest:
+                sp = self.plan.split
+                a_univ, b_empty, b_univ, a_is_empty = \
+                    self._line_shape_parts(sp)
+                if (a_univ != UNIV_ANY and b_univ != UNIV_ANY
+                        and (sp.line_anchored or a_univ == UNIV_LINE
+                             or a_is_empty)):
+                    anchored = sp.line_anchored and \
+                        len(sp.prefix_literal) > 0
+                    prefix = sp.prefix_literal if anchored else b""
+                    if SeqScanner.supported([sp.lit], prefix,
+                                            line_mode=True):
+                        self._seq_sc = SeqScanner(
+                            MODE_LINE, [sp.lit], prefix=prefix,
+                            anchored=anchored)
+        return self._seq_sc
 
     def count(self, data: np.ndarray) -> int:
         """Match count with device-side fast paths (Count,
@@ -307,6 +348,12 @@ class BatchEngine:
             cc = self.plan.charclass
             return class_run_count(dev, np.array(cc.table, dtype=bool),
                                    cc.min, cc.max)
+        # predicate sequential kernels: literal sets and line shapes
+        sq = self._seq_scanner()
+        if sq:
+            c = sq.count(dev)
+            if c is not None:
+                return c
         if strat == Strategy.LITERAL:
             from ..ops.bytescan import literal_self_overlaps, memmem_count
             lit = self.plan.literals[0]

@@ -104,11 +104,13 @@ def _make_word_tiles(data_u8: jnp.ndarray, L: int, T4: int):
     4-byte packing, zero-padded).  One-time per (corpus, geometry)."""
     n = data_u8.shape[0]
     pad = L * T4 * 4 - n
-    d = jnp.pad(data_u8, (0, pad)).astype(jnp.int32).reshape(L, T4, 4)
-    w = (d[:, :, 0] | (d[:, :, 1] << 8) | (d[:, :, 2] << 16)
-         | (d[:, :, 3] << 24))
+    d = jnp.pad(data_u8, (0, pad))
+    # strided byte planes: a trailing reshape dim of 4 would be padded to
+    # 128 lanes by the TPU tiled layout (25 GB for a 192 MB corpus)
+    b = [d[k::4].astype(jnp.int32) for k in range(4)]
+    w = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
     Lc = L // 8
-    return w.T.reshape(T4, 8, Lc)
+    return w.reshape(L, T4).T.reshape(T4, 8, Lc)
 
 
 def corpus_word_tiles(data_u8: jnp.ndarray, L: int, T: int):
