@@ -88,6 +88,7 @@ def test_pallas_interpret_line_plain():
 def test_supported_gates():
     assert SeqScanner.supported([b"abc"])
     assert not SeqScanner.supported([b"a\x00b"])
-    assert not SeqScanner.supported([b"a\nb"])
+    assert SeqScanner.supported([b"a\nb"])  # fine for MODE_MULTI
+    assert not SeqScanner.supported([b"a\nb"], line_mode=True)
     assert not SeqScanner.supported([b"x" * 20])
     assert not SeqScanner.supported([b""])
