@@ -335,6 +335,19 @@ class BatchEngine:
                             anchored=anchored)
         return self._seq_sc
 
+    def _try_scanner(self, scanner, dev, slot: str):
+        """Run a device scanner, permanently retiring it on compile or
+        runtime failure (graceful degradation, the reference's
+        engine-constructor-failure downgrade analogue)."""
+        try:
+            return scanner.count(dev)
+        except Exception as ex:  # pragma: no cover - device specific
+            from .config import debug
+            debug(1, f"scanner {slot} failed ({type(ex).__name__}); "
+                     f"retired: {ex}")
+            setattr(self, slot, False)
+            return None
+
     def count(self, data: np.ndarray) -> int:
         """Match count with device-side fast paths (Count,
         meta/findall.go:297 analogue): most strategies reduce to a single
@@ -351,7 +364,7 @@ class BatchEngine:
         # predicate sequential kernels: literal sets and line shapes
         sq = self._seq_scanner()
         if sq:
-            c = sq.count(dev)
+            c = self._try_scanner(sq, dev, "_seq_sc")
             if c is not None:
                 return c
         if strat == Strategy.LITERAL:
@@ -368,7 +381,7 @@ class BatchEngine:
         # universal single-launch path: the count transducer scan
         sc = self._count_scanner()
         if sc:
-            c = sc.count(dev)
+            c = self._try_scanner(sc, dev, "_count_sc")
             if c is not None:
                 return c
         if strat == Strategy.PREFIX_RUN:

@@ -451,14 +451,16 @@ class SeqScanner:
         n = int(data_dev.shape[0])
         if n == 0:
             return 0
-        L, T, W, Lc = geometry or plan_geometry(n, warmup=128)
+        # Lc=512/Tt4=32 keeps the event-plane temporaries (J*4 hit planes
+        # of [Tt4, 8, Lc] i32) inside the 16 MB VMEM budget
+        L, T, W, Lc = geometry or plan_geometry(n, lc=512, warmup=128)
         W = max(W, 4 * self.M + 4)
         W = min(W, T)
         tiles = corpus_word_tiles(data_dev, L, T)
         total, conv = jax.device_get(_seq_full(
             self.masks, self.vals, self.lens, data_dev, tiles,
             jnp.int32(n), L=L, T=T, W=W, J=self.J, M=self.M,
-            Tt4=min(64, T // 4), Lc=Lc, mode=self.mode,
+            Tt4=min(32, T // 4), Lc=Lc, mode=self.mode,
             anchored=self.anchored, plen=self.plen,
             interpret=self.interpret))
         if not bool(conv):
