@@ -333,6 +333,19 @@ class BatchEngine:
                         self._seq_sc = SeqScanner(
                             MODE_LINE, [sp.lit], prefix=prefix,
                             anchored=anchored)
+            elif strat == Strategy.FULL_SCAN and not self.longest:
+                # `.*\.(txt|log|md)`-style literal-set line shapes
+                # (ReverseSuffixSetSearcher analogue)
+                ls = litmod.line_set_split(self.ast)
+                if ls is not None:
+                    anchored = ls.line_anchored and \
+                        len(ls.prefix_literal) > 0
+                    prefix = ls.prefix_literal if anchored else b""
+                    if SeqScanner.supported(ls.lits, prefix,
+                                            line_mode=True):
+                        self._seq_sc = SeqScanner(
+                            MODE_LINE, ls.lits, prefix=prefix,
+                            anchored=anchored)
         return self._seq_sc
 
     def _try_scanner(self, scanner, dev, slot: str):

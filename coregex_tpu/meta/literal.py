@@ -285,3 +285,59 @@ def has_start_anchor(node: Node) -> bool:
     if op == Op.ALTERNATE:
         return all(has_start_anchor(s) for s in node.subs)
     return False
+
+
+@dataclass
+class LineSetSplit:
+    """Line shape around an exact literal ALTERNATION — the reference's
+    ReverseSuffixSetSearcher shape (meta/reverse_suffix_set.go:
+    `.*\\.(txt|log|md)`), generalized to any `[^|.*][lits](.*)` line form.
+    One match per line containing any set member, so Count reduces to the
+    any-of line-hit machine."""
+    lits: List[bytes]
+    prefix_literal: bytes
+    line_anchored: bool
+
+
+def line_set_split(root: Node) -> Optional[LineSetSplit]:
+    node = root
+    while node.op == Op.CAPTURE:
+        node = node.subs[0]
+    if node.op != Op.CONCAT:
+        return None
+    ch = list(node.subs)
+    b_univ = UNIV_NONE
+    if ch and _universality(ch[-1]) == UNIV_LINE:
+        b_univ = UNIV_LINE
+        ch = ch[:-1]
+    line_anchored = False
+    prefix = b""
+    a_univ = UNIV_NONE
+    if ch and ch[0].op == Op.BEGIN_LINE:
+        rest = ch[1:]
+        for k, c in enumerate(rest):
+            if _universality(c) == UNIV_LINE:
+                plits = (exact_literals(concat(rest[:k]))
+                         if k else [b""])
+                if plits is None or len(plits) != 1:
+                    return None
+                line_anchored = True
+                prefix = plits[0]
+                ch = rest[k + 1:]
+                break
+        else:
+            return None
+    elif ch and _universality(ch[0]) == UNIV_LINE:
+        a_univ = UNIV_LINE
+        ch = ch[1:]
+    if not ch:
+        return None
+    lits = exact_literals(concat(ch))
+    if lits is None or not (2 <= len(lits) <= 32):
+        return None
+    if any(len(l) == 0 for l in lits):
+        return None
+    if a_univ == UNIV_NONE and not line_anchored and b_univ == UNIV_NONE:
+        return None  # pure alternation: MULTI_LITERAL's business
+    return LineSetSplit(lits=lits, prefix_literal=prefix,
+                        line_anchored=line_anchored)

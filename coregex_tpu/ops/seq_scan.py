@@ -117,35 +117,37 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
                          prefix-at-position at 8+kk."""
         ev = jnp.zeros((Q, 8, Lc), dtype=jnp.int32)
         base = full[:Q]
-        hits = []
-        for j in range(J):
-            ph = []
-            for kk in range(4):
-                h = None
-                for m in range(M):
-                    c = (full[m:m + Q] & masks_ref[j, kk, m]) \
-                        == vals_ref[j, kk, m]
-                    h = c if h is None else (h & c)
-                ph.append(h)
-            hits.append(ph)
+
+        def hit(j, kk):
+            h = None
+            for m in range(M):
+                c = (full[m:m + Q] & masks_ref[j, kk, m]) \
+                    == vals_ref[j, kk, m]
+                h = c if h is None else (h & c)
+            return h
+
+        # accumulate per needle so at most a handful of [Q, 8, Lc]
+        # planes are live at once (J*4 live planes blow VMEM at J=32)
         if mode == MODE_MULTI:
             for kk in range(4):
-                any_h = hits[0][kk]
-                wl = jnp.where(hits[0][kk], lens_ref[0], 0)
-                for j in range(1, J):
-                    any_h = any_h | hits[j][kk]
-                    # earlier j wins: only overwrite where nothing won yet
-                    wl = jnp.where((wl == 0) & hits[j][kk],
+                wl = jnp.zeros((Q, 8, Lc), dtype=jnp.int32)
+                for j in range(J):
+                    # earlier j wins: only claim where nothing won yet
+                    wl = jnp.where((wl == 0) & hit(j, kk),
                                    lens_ref[j], wl)
-                ev = ev | jnp.where(any_h, 1 << kk, 0)
+                ev = ev | jnp.where(wl > 0, 1 << kk, 0)
                 ev = ev | (wl << (4 + 5 * kk))
         else:
+            jh = J - 1 if anchored else J  # last slot holds the prefix
             for kk in range(4):
                 b = (base >> (8 * kk)) & 255
-                ev = ev | jnp.where(hits[0][kk], 1 << kk, 0)
+                any_h = hit(0, kk)
+                for j in range(1, jh):
+                    any_h = any_h | hit(j, kk)
+                ev = ev | jnp.where(any_h, 1 << kk, 0)
                 ev = ev | jnp.where(b == 10, 1 << (4 + kk), 0)
                 if anchored:
-                    ev = ev | jnp.where(hits[1][kk], 1 << (8 + kk), 0)
+                    ev = ev | jnp.where(hit(jh, kk), 1 << (8 + kk), 0)
         return ev
 
     def substep(state, cnt, evq, kk, live_state, live_count):
@@ -377,9 +379,11 @@ def multi_count_host(data: bytes, needles: Sequence[bytes]) -> int:
     return count
 
 
-def line_count_host(data: bytes, needle: bytes, prefix: bytes,
+def line_count_host(data: bytes, needles, prefix: bytes,
                     anchored: bool) -> int:
-    """Sequential reference of MODE_LINE."""
+    """Sequential reference of MODE_LINE (any-of needle set per line)."""
+    if isinstance(needles, (bytes, bytearray)):
+        needles = [bytes(needles)]
     count = 0
     for ls in _line_starts(data):
         le = data.find(b"\n", ls)
@@ -389,10 +393,11 @@ def line_count_host(data: bytes, needle: bytes, prefix: bytes,
         if anchored:
             if not line.startswith(prefix):
                 continue
-            if needle in line[len(prefix):]:
+            body = line[len(prefix):]
+            if any(nd in body for nd in needles):
                 count += 1
         else:
-            if needle in line:
+            if any(nd in line for nd in needles):
                 count += 1
     return count
 
@@ -423,7 +428,7 @@ class SeqScanner:
         self.plen = len(prefix) if anchored else 0
         items = list(self.needles)
         if mode == MODE_LINE and anchored:
-            items = [self.needles[0], self.prefix]
+            items = items + [self.prefix]
         kmax = max(len(x) for x in items)
         self.M = min(M_MAX, (3 + kmax + 3) // 4)
         masks, vals, lens = build_mask_tables(items, self.M)

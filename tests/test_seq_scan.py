@@ -57,6 +57,34 @@ def test_line_host_semantics_match_engine():
             assert got == exp, (pattern, t)
 
 
+def test_line_set_host_semantics_match_engine():
+    """Literal-set line shapes (ReverseSuffixSet analogue)."""
+    cases = [
+        ([b".txt", b".log"], b"", False, r".*\.(txt|log)"),
+        ([b"foo", b"bar"], b"", False, r"(foo|bar).*"),
+        ([b".php", b".html"], b"/", True, r"(?m)^/.*\.(php|html)"),
+    ]
+    rng = random.Random(21)
+    alphabet = b"fobar.txtlogphml/\n "
+    for needles, prefix, anchored, pattern in cases:
+        eng = Engine.compile(pattern)
+        eng.batch_threshold = 1 << 60
+        for _ in range(200):
+            t = _rand_text(rng, alphabet, rng.randrange(0, 60))
+            exp = len(eng._all_spans(np.frombuffer(t, dtype=np.uint8)))
+            got = line_count_host(t, needles, prefix, anchored)
+            assert got == exp, (pattern, t)
+
+
+def test_pallas_interpret_line_set():
+    nds = [b".txt", b".log"]
+    sc = SeqScanner(MODE_LINE, nds, interpret=True)
+    data = (b"a.txt b\nplain\nx.log.txt\nc.log\n" * 80)
+    dev = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    got = sc.count(dev, geometry=plan_geometry(len(data), lc=128))
+    assert got == line_count_host(data, nds, b"", False)
+
+
 def test_pallas_interpret_multi():
     nds = [b"ab", b"a", b"ba"]
     sc = SeqScanner(MODE_MULTI, nds, interpret=True)
