@@ -17,6 +17,15 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: kernel compiles through the remote
+# compile service cost 20-230 s each; cached executables make repeat
+# bench runs reflect scan time, not compile time.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 # Wall-clock budget: emit the JSON line with whatever completed rather than
 # being killed by an external timeout (remote kernel compiles can queue for
 # minutes on a cold compile cache).
@@ -87,10 +96,12 @@ REF_MB = 6 * 1024 * 1024 / 1e6  # reference numbers are for 6 MB inputs
 def main():
     from coregex_tpu.meta.engine import Engine
 
-    # The runtime has a ~28 ms per-launch round-trip floor; a 48 MB corpus
-    # amortizes fixed dispatch costs so the number reflects scan
-    # throughput, and vs_baseline compares per-6MB-equivalent times.
-    corpus = build_corpus(size=192 * 1024 * 1024)
+    # Every count() syncs one scalar through the device runtime at a
+    # measured ~22 ms round trip; a 768 MB corpus amortizes that floor so
+    # the number reflects scan throughput, and vs_baseline compares
+    # per-6MB-equivalent times.
+    corpus = build_corpus(size=int(os.environ.get(
+        "BENCH_CORPUS_MB", "768")) * 1024 * 1024)
     n = len(corpus)
     arr = np.frombuffer(corpus, dtype=np.uint8)
     scale = (n / 1e6) / REF_MB

@@ -170,8 +170,10 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
         hit = ((evq >> kk) & 1) == 1
         is_nl = ((evq >> (4 + kk)) & 1) == 1
         if anchored:
+            # NB: jnp.where over two bool vectors trips a Mosaic i8->i1
+            # truncation; use boolean algebra instead
             pfx = ((evq >> (8 + kk)) & 1) == 1
-            valid = jnp.where(prev_nl, pfx, valid)
+            valid = (prev_nl & pfx) | (~prev_nl & valid)
         else:
             valid = valid | prev_nl
         seen = seen & ~prev_nl
