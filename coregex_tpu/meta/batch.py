@@ -174,6 +174,8 @@ class BatchEngine:
         self._sieve = None
         self._count_sc = None  # lazy CountScanner; False == unavailable
         self._seq_sc = None  # lazy SeqScanner; False == unavailable
+        self._line_sc = None  # lazy LineScanner; False == unavailable
+        self._hits_sc = None  # lazy HitsScanner; False == unavailable
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -348,12 +350,68 @@ class BatchEngine:
                             anchored=anchored)
         return self._seq_sc
 
-    def _try_scanner(self, scanner, dev, slot: str):
+    def _line_shape_args(self):
+        """(needles, prefix, anchored) when the pattern is a line shape
+        the line kernels can count, else None."""
+        strat = self.plan.strategy
+        if self.longest:
+            return None
+        if strat == Strategy.LINE_SHAPE:
+            sp = self.plan.split
+            a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
+            if (a_univ != UNIV_ANY and b_univ != UNIV_ANY
+                    and (sp.line_anchored or a_univ == UNIV_LINE
+                         or a_is_empty)):
+                anchored = sp.line_anchored and len(sp.prefix_literal) > 0
+                prefix = sp.prefix_literal if anchored else b""
+                return [sp.lit], prefix, anchored
+        elif strat == Strategy.FULL_SCAN:
+            ls = litmod.line_set_split(self.ast)
+            if ls is not None:
+                anchored = ls.line_anchored and len(ls.prefix_literal) > 0
+                prefix = ls.prefix_literal if anchored else b""
+                return ls.lits, prefix, anchored
+        return None
+
+    def _line_scanner(self):
+        """Lazy parallel line-count scanner (ops/line_scan.py), preferred
+        over the sequential kernel: one launch, always exact."""
+        if self._line_sc is None:
+            self._line_sc = False
+            import jax
+            from ..ops.line_scan import LineScanner
+            if jax.default_backend() != "tpu":
+                return self._line_sc
+            args = self._line_shape_args()
+            if args is not None:
+                needles, prefix, anchored = args
+                if LineScanner.supported(needles, prefix):
+                    self._line_sc = LineScanner(needles, prefix=prefix,
+                                                anchored=anchored)
+        return self._line_sc
+
+    def _hits_scanner(self):
+        """Lazy parallel literal-set scanner: raw-hit count with exact
+        runtime overlap detection (falls back on overlap)."""
+        if self._hits_sc is None:
+            self._hits_sc = False
+            import jax
+            from ..ops.line_scan import HitsScanner
+            if jax.default_backend() != "tpu":
+                return self._hits_sc
+            if self.plan.strategy in (Strategy.LITERAL,
+                                      Strategy.MULTI_LITERAL):
+                nds = self.plan.literals
+                if HitsScanner.supported(nds):
+                    self._hits_sc = HitsScanner(nds)
+        return self._hits_sc
+
+    def _try_scanner(self, scanner, dev, slot: str, **kw):
         """Run a device scanner, permanently retiring it on compile or
         runtime failure (graceful degradation, the reference's
         engine-constructor-failure downgrade analogue)."""
         try:
-            return scanner.count(dev)
+            return scanner.count(dev, **kw)
         except Exception as ex:  # pragma: no cover - device specific
             from .config import debug
             debug(1, f"scanner {slot} failed ({type(ex).__name__}); "
@@ -374,6 +432,17 @@ class BatchEngine:
             cc = self.plan.charclass
             return class_run_count(dev, np.array(cc.table, dtype=bool),
                                    cc.min, cc.max)
+        # parallel single-launch kernels: line shapes and literal sets
+        lsc = self._line_scanner()
+        if lsc:
+            c = self._try_scanner(lsc, dev, "_line_sc", data_host=data)
+            if c is not None:
+                return c
+        hsc = self._hits_scanner()
+        if hsc:
+            c = self._try_scanner(hsc, dev, "_hits_sc")
+            if c is not None:
+                return c
         # predicate sequential kernels: literal sets and line shapes
         sq = self._seq_scanner()
         if sq:

@@ -114,15 +114,18 @@ def _make_word_tiles(data_u8: jnp.ndarray, L: int, T4: int):
 
 
 def corpus_word_tiles(data_u8: jnp.ndarray, L: int, T: int):
-    """Cached tiles keyed by (buffer id, geometry)."""
+    """Cached tiles keyed by (buffer id, geometry).  Each entry keeps a
+    strong reference to the keyed array: without it a freed array's id
+    can be reused by a new corpus and serve stale tiles."""
     key = (id(data_u8), L, T)
     ent = _tiles_cache.get(key)
-    if ent is None:
-        ent = _make_word_tiles(data_u8, L, T // 4)
+    if ent is None or ent[0] is not data_u8:
+        tiles = _make_word_tiles(data_u8, L, T // 4)
+        ent = (data_u8, tiles)
         _tiles_cache[key] = ent
         while len(_tiles_cache) > 8:
             _tiles_cache.pop(next(iter(_tiles_cache)))
-    return ent
+    return ent[1]
 
 
 _tiles_cache: dict = {}
