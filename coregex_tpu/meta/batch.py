@@ -250,6 +250,8 @@ class BatchEngine:
             return self._line_shape_spans(dev, data, n, limit)
         if strat == Strategy.INNER:
             return self._inner_spans(dev, data, n, limit)
+        if strat == Strategy.PREFIX_SET:
+            return self._prefix_set_spans(dev, data, n, limit)
         if strat == Strategy.PREFIX_RUN:
             return self._prefix_run_spans(dev, data, n, limit)
         if strat == Strategy.FULL_SCAN:
@@ -781,6 +783,25 @@ class BatchEngine:
         starts = self._rev_start_flags(dev, data, n, cand + k)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
+        ws = WindowScanner(self._dense(self._verify_kind()))
+        ends = ws.ends_for_starts(dev, starts)
+        keep = ends >= 0
+        return go_select(starts[keep], ends[keep], n, data, limit)
+
+    def _prefix_set_spans(self, dev, data, n, limit) -> np.ndarray:
+        """PREFIX_SET: candidate match starts = positions where any
+        extracted prefix literal matches (meta/seq.py); verification =
+        forward-anchored DFA windows.  The forward-only counterpart of
+        _inner_spans — the reference instead wraps these literals in a
+        memmem/Teddy prefilter (prefilter/prefilter.go:249-297)."""
+        from ..ops.bytescan import multi_literal_hits
+        from ..ops.dfa_scan import WindowScanner
+        pos, _, _ = multi_literal_hits(dev, self.plan.prefix_lits)
+        if len(pos) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        if len(pos) > MAX_CANDIDATES:
+            return self._full_scan_spans(dev, data, n, limit)
+        starts = np.unique(pos)
         ws = WindowScanner(self._dense(self._verify_kind()))
         ends = ws.ends_for_starts(dev, starts)
         keep = ends >= 0

@@ -24,6 +24,7 @@ from typing import List, Optional
 
 from ..syntax.ast import Node, Op
 from . import literal as litmod
+from . import seq as seqmod
 from .literal import (UNIV_ANY, UNIV_LINE, UNIV_NONE, CharClassShape,
                       InnerSplit)
 
@@ -34,6 +35,7 @@ class Strategy(enum.Enum):
     MULTI_LITERAL = "multi_literal"
     LINE_SHAPE = "line_shape"
     INNER = "inner"
+    PREFIX_SET = "prefix_set"
     PREFIX_RUN = "prefix_run"
     FULL_SCAN = "full_scan"
     HOST = "host"
@@ -47,6 +49,7 @@ class Plan:
     charclass: Optional[CharClassShape] = None
     split: Optional[InnerSplit] = None
     prefix_run: Optional["litmod.PrefixRunShape"] = None
+    prefix_lits: Optional[List[bytes]] = None
     nullable: bool = False
 
 
@@ -93,6 +96,25 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
         if us != UNIV_NONE and prefix_is_lit_only:
             return Plan(Strategy.LINE_SHAPE, "lit.* universal suffix shape",
                         split=split, nullable=nullable)
+
+    # PREFIX_SET: every match must begin with one of ≤32 extracted prefix
+    # literals (seq.py, ExtractPrefixes analogue) — candidate starts from
+    # one multi-needle scan, forward-anchored DFA verification, no reverse
+    # scan.  Preferred over INNER only when the pattern *starts* with the
+    # split literal (the reverse pass would be a no-op); a true inner
+    # literal is usually rarer than the prefixes.
+    lit_at_start = split is not None and (
+        split.prefix_ast.op == Op.LITERAL
+        or litmod.exact_literals(split.prefix_ast) is not None)
+    if split is None or lit_at_start:
+        plits = seqmod.viable_prefix_set(ast)
+        if plits is not None:
+            return Plan(Strategy.PREFIX_SET,
+                        f"match starts with one of {len(plits)} prefix "
+                        "literals; forward-anchored verification",
+                        prefix_lits=plits, split=split, nullable=nullable)
+
+    if split is not None:
         return Plan(Strategy.INNER,
                     f"inner literal {split.lit!r} with DFA verification",
                     split=split, nullable=nullable)

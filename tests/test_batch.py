@@ -47,7 +47,7 @@ CASES = [
     (r"(?m)^/.*\.php", Strategy.LINE_SHAPE),
     (r"error.*", Strategy.LINE_SHAPE),
     (r"(?s).*keyword(?s).*", Strategy.LINE_SHAPE),
-    (r"error.*fox", Strategy.INNER),
+    (r"error.*fox", Strategy.PREFIX_SET),
     (r"\w+\.php", Strategy.INNER),
     (r"\d+\.\d+\.\d+\.\d+", Strategy.PREFIX_RUN),
     (r"\d+\.\d+", Strategy.PREFIX_RUN),
