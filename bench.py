@@ -97,11 +97,13 @@ def main():
     from coregex_tpu.meta.engine import Engine
 
     # Every count() syncs one scalar through the device runtime at a
-    # measured ~22 ms round trip; a 768 MB corpus amortizes that floor so
-    # the number reflects scan throughput, and vs_baseline compares
-    # per-6MB-equivalent times.
+    # measured ~26 ms round trip (axon tunnel HTTP latency, not TPU
+    # dispatch); a 1.5 GB corpus amortizes that floor so the number
+    # reflects scan throughput, and vs_baseline compares
+    # per-6MB-equivalent times.  HBM check: corpus u8 + word tiles i32 +
+    # flipped variants ~= 4x corpus bytes, well under the 16 GB chip.
     corpus = build_corpus(size=int(os.environ.get(
-        "BENCH_CORPUS_MB", "768")) * 1024 * 1024)
+        "BENCH_CORPUS_MB", "1536")) * 1024 * 1024)
     n = len(corpus)
     arr = np.frombuffer(corpus, dtype=np.uint8)
     scale = (n / 1e6) / REF_MB

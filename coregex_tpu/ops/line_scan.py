@@ -76,8 +76,8 @@ def _excl(incl: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
-                 counts_ref, fnl_ref, lnl_ref, lp_ref, lh_ref, mpre_ref,
-                 tail_scr, cnt_scr, fnl_scr, mpre_scr, cln_scr, clp_scr,
+                 counts_ref, lnl_ref, lp_ref, lh_ref, mpre_ref,
+                 tail_scr, cnt_scr, mpre_scr, cln_scr, clp_scr,
                  clh_scr, *, J: int, M: int, Tt4: int, Lc: int,
                  anchored: bool, plen: int):
     """One grid step processes Tt4 word rows per lane, delayed M rows for
@@ -122,29 +122,26 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
 
         # pass A: per-word nl extrema -> running newline maxima
         wm_nl = jnp.full((Q, 8, Lc), NEG, dtype=jnp.int32)
-        wf_nl = jnp.full((Q, 8, Lc), 1 << 30, dtype=jnp.int32)
         for kk in range(4):
             is_nl = ((ev >> (4 + kk)) & 1) == 1
             wm_nl = jnp.where(is_nl, rowpos + kk, wm_nl)
-        for kk in range(3, -1, -1):
-            is_nl = ((ev >> (4 + kk)) & 1) == 1
-            wf_nl = jnp.where(is_nl, rowpos + kk, wf_nl)
         incl_nl = _cummax0(wm_nl)
         excl_nl = _excl(incl_nl, cln_scr[:])
 
         # pass B1: line-start / qualifying-hit events (need running ln)
         ev2 = jnp.zeros((Q, 8, Lc), dtype=jnp.int32)
-        wm_lp = jnp.full((Q, 8, Lc), NEG, dtype=jnp.int32)
         wm_lh = jnp.full((Q, 8, Lc), NEG, dtype=jnp.int32)
         mpre = jnp.full((Q, 8, Lc), -1, dtype=jnp.int32)
+        if anchored:
+            wm_lp = jnp.full((Q, 8, Lc), NEG, dtype=jnp.int32)
         ln = excl_nl
         for kk in range(4):
             pos = rowpos + kk
             hit = (ev >> kk) & 1
             is_nl = (ev >> (4 + kk)) & 1
-            prev_nl = jnp.where(pos == 0, pnl,
-                                (ln == pos - 1).astype(jnp.int32))
             if anchored:
+                prev_nl = jnp.where(pos == 0, pnl,
+                                    (ln == pos - 1).astype(jnp.int32))
                 pfx = (ev >> (8 + kk)) & 1
                 lps = prev_nl & pfx
                 ev2 = ev2 | (lps << (8 + kk))
@@ -157,14 +154,17 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
             wm_lh = jnp.where(qual == 1, pos, wm_lh)
             mpre = jnp.where((hit == 1) & (ln < 0), pos, mpre)
             ln = jnp.where(is_nl == 1, pos, ln)
-        incl_lp = _cummax0(wm_lp)
-        excl_lp = _excl(incl_lp, clp_scr[:])
+        if anchored:
+            incl_lp = _cummax0(wm_lp)
+            excl_lp = _excl(incl_lp, clp_scr[:])
         incl_lh = _cummax0(wm_lh)
         excl_lh = _excl(incl_lh, clh_scr[:])
 
         # pass B3: commits at newline bytes
         cnt = jnp.zeros((Q, 8, Lc), dtype=jnp.int32)
-        ln, lp, lh = excl_nl, excl_lp, excl_lh
+        ln, lh = excl_nl, excl_lh
+        if anchored:
+            lp = excl_lp
         for kk in range(4):
             pos = rowpos + kk
             is_nl = (ev >> (4 + kk)) & 1
@@ -182,17 +182,16 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
 
         # reductions + carries
         cnt_scr[:] += cnt.sum(axis=0)
-        fnl_scr[:] = jnp.minimum(fnl_scr[:], wf_nl.min(axis=0))
         mpre_scr[:] = jnp.maximum(mpre_scr[:], mpre.max(axis=0))
         cln_scr[:] = jnp.maximum(cln_scr[:], incl_nl[Q - 1])
-        clp_scr[:] = jnp.maximum(clp_scr[:], incl_lp[Q - 1])
+        if anchored:
+            clp_scr[:] = jnp.maximum(clp_scr[:], incl_lp[Q - 1])
         clh_scr[:] = jnp.maximum(clh_scr[:], incl_lh[Q - 1])
 
     @pl.when(g == 0)
     def _():
         tail_scr[:] = jnp.zeros_like(tail_scr)
         cnt_scr[:] = jnp.zeros_like(cnt_scr)
-        fnl_scr[:] = jnp.full_like(fnl_scr, 1 << 30)
         mpre_scr[:] = jnp.full_like(mpre_scr, -1)
         cln_scr[:] = jnp.full_like(cln_scr, NEG)
         clp_scr[:] = jnp.full_like(clp_scr, NEG)
@@ -208,7 +207,6 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
         ffull = jnp.concatenate([tail_scr[:], heads_ref[:]], axis=0)
         process(ffull, M, n_tiles * Tt4 - M)
         counts_ref[:] = cnt_scr[:]
-        fnl_ref[:] = fnl_scr[:]
         lnl_ref[:] = cln_scr[:]
         lp_ref[:] = clp_scr[:]
         lh_ref[:] = clh_scr[:]
@@ -229,7 +227,6 @@ def _pallas_line(masks, vals, pnl, heads, tiles, J: int, M: int, T4: int,
         scratch_shapes=[
             pltpu.VMEM((M, 8, Lc), jnp.int32),   # tail
             pltpu.VMEM((8, Lc), jnp.int32),      # count
-            pltpu.VMEM((8, Lc), jnp.int32),      # first nl
             pltpu.VMEM((8, Lc), jnp.int32),      # max pre-e0 hit
             pltpu.VMEM((8, Lc), jnp.int32),      # carry ln
             pltpu.VMEM((8, Lc), jnp.int32),      # carry lp
@@ -243,14 +240,14 @@ def _pallas_line(masks, vals, pnl, heads, tiles, J: int, M: int, T4: int,
             pl.BlockSpec((Tt4, 8, Lc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # tiles
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
     )
     kern = functools.partial(_line_kernel, J=J, M=M, Tt4=Tt4, Lc=Lc,
                              anchored=anchored, plen=plen)
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct((8, Lc), jnp.int32)
-                        for _ in range(6)),
+                        for _ in range(5)),
         interpret=interpret,
     )(masks, vals, pnl, heads, tiles)
     return outs
@@ -312,18 +309,20 @@ class LineScanner:
         prev_b = data_dev[jnp.clip(lane_ids * T - 1, 0, n - 1)]
         pnl = (prev_b == np.uint8(10)).astype(jnp.int32)
         pnl = pnl.at[0].set(1)
+        # Tt4=64 halves grid steps and cummax-tree launches vs 32; the
+        # stage-split probe measured hit-detection 1.5x faster at 64
         outs = _pallas_line(
             self.masks, self.vals, pnl.reshape(8, Lc), heads, tiles,
-            J=self.J, M=self.M, T4=T4, Tt4=min(32, T4), Lc=Lc,
+            J=self.J, M=self.M, T4=T4, Tt4=min(64, T4), Lc=Lc,
             anchored=self.anchored, plen=self.plen,
             interpret=self.interpret)
-        cnt, fnl, lnl, lpe, lhe, mpre = (
+        cnt, lnl, lpe, lhe, mpre = (
             np.asarray(v).reshape(L).astype(np.int64)
             for v in jax.device_get(outs))
-        return self._combine(n, L, T, cnt, fnl, lnl, lpe, lhe, mpre,
+        return self._combine(n, L, T, cnt, lnl, lpe, lhe, mpre,
                              data_host)
 
-    def _combine(self, n, L, T, cnt, fnl, lnl, lpe, lhe, mpre, data_host):
+    def _combine(self, n, L, T, cnt, lnl, lpe, lhe, mpre, data_host):
         """Vectorized O(L) host stitching: each lane's entry state only
         affects its first line (committed at the lane's first in-lane
         newline, which the kernel excluded), plus the final EOI line.
@@ -336,7 +335,7 @@ class LineScanner:
         NEGH = np.int64(-(1 << 62))
         total = int(cnt.sum())
         bases = np.arange(L, dtype=np.int64) * T
-        has_nl = fnl < (1 << 30)
+        has_nl = lnl > NEG // 2
 
         # exclusive running last-newline (entry_ln[i] covers lanes < i);
         # SOT sentinel is -1 (line start at position 0)
@@ -574,7 +573,7 @@ class HitsScanner:
         # large needle sets keep more per-group planes live: shrink the
         # tile rows to stay inside the ~16MB scoped-VMEM budget
         J = len(self.needles)
-        tt4 = 32 if J <= 8 else (16 if J <= 24 else 8)
+        tt4 = 64 if J <= 8 else (32 if J <= 24 else 16)
         outs = _pallas_hits(self.masks, self.vals, heads, tiles,
                             groups=self.groups, M=self.M, T4=T4,
                             Tt4=min(tt4, T4), Lc=Lc,
