@@ -35,6 +35,11 @@ def _as_array(data: Bytes) -> np.ndarray:
     return np.frombuffer(bytes(data), dtype=np.uint8)
 
 
+def _is_pair_seq(match) -> bool:
+    """True when the submatch vector uses (start, end) pair entries."""
+    return any(isinstance(v, (tuple, list)) for v in match)
+
+
 def _rune_width(data: np.ndarray, pos: int) -> int:
     """Width of the UTF-8 rune starting at pos (Go's empty-match advance)."""
     if pos >= len(data):
@@ -554,14 +559,21 @@ class Engine:
 
     def expand(self, template: Bytes, src: Bytes,
                match: Sequence[int]) -> bytes:
-        """Regexp.Expand: apply a $-template given a flat submatch index
-        vector (as returned by find_submatch_index flattened)."""
+        """Regexp.Expand: apply a $-template given a submatch index
+        vector — Go's flat [s0,e0,s1,e1,...] form or this package's
+        find_submatch_index pair form [(s0,e0),(s1,e1)|None,...]."""
         tmpl = template.encode("utf-8") if isinstance(template, str) \
             else bytes(template)
         text = bytes(_as_array(src).tobytes())
         flat = []
         for v in match:
-            flat.append(-1 if v is None else int(v))
+            if v is None:
+                flat.extend((-1, -1)) if _is_pair_seq(match) \
+                    else flat.append(-1)
+            elif isinstance(v, (tuple, list)):
+                flat.extend(int(x) for x in v)
+            else:
+                flat.append(int(v))
         return self._expand(tmpl, text, tuple(flat))
 
     # -- streaming (MatchReader family, regex.go:1619-1667 analogue) -----
@@ -601,6 +613,73 @@ class Engine:
             chunks.append(bytes(buf))
         data = b"".join(chunks)
         return self.find_index(data)
+
+    def find_reader_submatch_index(self, reader, chunk_size: int = 1 << 20
+                                   ) -> Optional[List[Optional[int]]]:
+        """FindReaderSubmatchIndex (regex.go:1650 analogue): buffer the
+        stream, report flat submatch indices in stream offsets."""
+        chunks = []
+        while True:
+            buf = reader.read(chunk_size)
+            if not buf:
+                break
+            chunks.append(bytes(buf))
+        return self.find_submatch_index(b"".join(chunks))
+
+    # -- string-offset variants (Go Find*String*Index, regex.go) ---------
+    # Offsets are byte offsets into the UTF-8 encoding, exactly as in Go
+    # (strings are byte slices there).
+    def find_string_index(self, s: str) -> Optional[Tuple[int, int]]:
+        return self.find_index(s)
+
+    def find_all_string_index(self, s: str, n: int = -1
+                              ) -> Optional[List[Tuple[int, int]]]:
+        return self.find_all_index(s, n)
+
+    def find_string_submatch_index(self, s: str
+                                   ) -> Optional[List[Optional[int]]]:
+        return self.find_submatch_index(s)
+
+    def find_all_string_submatch(self, s: str, n: int = -1
+                                 ) -> Optional[List[List[Optional[str]]]]:
+        res = self.find_all_submatch(s, n)
+        if res is None:
+            return None
+        return [[None if b is None else
+                 b.decode("utf-8", errors="surrogateescape") for b in grp]
+                for grp in res]
+
+    def find_all_string_submatch_index(self, s: str, n: int = -1):
+        return self.find_all_submatch_index(s, n)
+
+    def expand_string(self, template: str, src: str,
+                      match: Sequence[int]) -> str:
+        """Regexp.ExpandString (regex.go:951 analogue)."""
+        return self.expand(template, src, match).decode(
+            "utf-8", errors="surrogateescape")
+
+    def replace_all_literal_string(self, s: str, repl: str) -> str:
+        return self.replace_all_literal(s, repl).decode(
+            "utf-8", errors="surrogateescape")
+
+    def replace_all_string_func(self, s: str, fn) -> str:
+        """ReplaceAllStringFunc: fn receives and returns str."""
+        def wrap(b: bytes) -> bytes:
+            out = fn(b.decode("utf-8", errors="surrogateescape"))
+            return out.encode("utf-8") if isinstance(out, str) else out
+        return self.replace_all_func(s, wrap).decode(
+            "utf-8", errors="surrogateescape")
+
+    # -- text marshalling (regex.go:1602-1615 analogue) -------------------
+    def marshal_text(self) -> bytes:
+        """MarshalText: the pattern string (engines recompile on load)."""
+        return self.pattern.encode("utf-8")
+
+    @classmethod
+    def unmarshal_text(cls, text: Bytes) -> "Engine":
+        pat = text.decode("utf-8") if isinstance(text, (bytes, bytearray)) \
+            else str(text)
+        return cls.compile(pat)
 
     # -- misc ------------------------------------------------------------
     def copy(self) -> "Engine":

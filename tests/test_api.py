@@ -97,3 +97,39 @@ def test_stats_counters():
     assert eng.stats.dfa_searches + eng.stats.nfa_searches >= 1
     eng.stats.reset()
     assert eng.stats.dfa_searches == 0
+
+
+def test_string_variant_methods():
+    eng = Engine.compile(r"(\w+)=(\d+)")
+    s = "a=1 bb=22"
+    assert eng.find_string_index(s) == (0, 3)
+    assert eng.find_all_string_index(s) == [(0, 3), (4, 9)]
+    assert eng.find_string_submatch_index(s) == [(0, 3), (0, 1), (2, 3)]
+    assert eng.find_all_string_submatch(s) == [["a=1", "a", "1"],
+                                               ["bb=22", "bb", "22"]]
+    assert eng.find_all_string_submatch_index(s) == [
+        [(0, 3), (0, 1), (2, 3)], [(4, 9), (4, 6), (7, 9)]]
+    assert eng.replace_all_literal_string(s, "$1") == "$1 $1"
+    assert eng.replace_all_string_func(s, str.upper) == "A=1 BB=22"
+    m = eng.find_string_submatch_index(s)
+    assert eng.expand_string("$2:$1", s, m) == "1:a"
+    # Go's flat form works too
+    assert eng.expand_string("$2:$1", s, [0, 3, 0, 1, 2, 3]) == "1:a"
+    # byte offsets into UTF-8, as in Go
+    eng2 = Engine.compile(r"b+")
+    assert eng2.find_string_index("ébb") == (2, 4)
+
+
+def test_marshal_text_roundtrip():
+    eng = Engine.compile(r"x\d+")
+    assert eng.marshal_text() == rb"x\d+"
+    back = Engine.unmarshal_text(eng.marshal_text())
+    assert back.find_index(b"a x42") == (2, 5)
+
+
+def test_find_reader_submatch_index():
+    eng = Engine.compile(r"(a+)(b+)")
+    hay = b"z" * 5000 + b"aabbb" + b"z" * 10
+    got = eng.find_reader_submatch_index(io.BytesIO(hay), chunk_size=1024)
+    assert got == [(5000, 5005), (5000, 5002), (5002, 5005)]
+    assert eng.find_reader_submatch_index(io.BytesIO(b"zzz")) is None
