@@ -164,11 +164,24 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
             cnt = cnt + (commit & live_count).astype(jnp.int32)
             return state, cnt
         prev_nl = (state & 1) == 1
+        hit = ((evq >> kk) & 1) == 1
+        is_nl = ((evq >> (4 + kk)) & 1) == 1
+        if not anchored and plen == 0:
+            # unanchored line machine: `valid` is constant-true and the
+            # since-line-start counter is unused — only prev_nl and seen
+            # remain (state bits 0 and 2, same encoding as the full
+            # machine so entries/exits stay comparable)
+            seen = (((state >> 2) & 1) == 1) & ~prev_nl
+            commit = hit & ~seen
+            cnt = cnt + (commit & live_count).astype(jnp.int32)
+            seen = seen | commit
+            nstate = (is_nl.astype(jnp.int32)
+                      | (seen.astype(jnp.int32) << 2))
+            state = jnp.where(live_state, nstate, state)
+            return state, cnt
         valid = ((state >> 1) & 1) == 1
         seen = ((state >> 2) & 1) == 1
         slc = (state >> 3) & 31
-        hit = ((evq >> kk) & 1) == 1
-        is_nl = ((evq >> (4 + kk)) & 1) == 1
         if anchored:
             # NB: jnp.where over two bool vectors trips a Mosaic i8->i1
             # truncation; use boolean algebra instead
@@ -312,6 +325,7 @@ def _seq_full(masks, vals, lens, data_u8, tiles, n,
                       jnp.roll(flat_head, -1, axis=1)).reshape(M, 8, Lc)
 
     limits = jnp.clip(n - lane_ids * T, 0, T)
+    simple_line = mode == MODE_LINE and not anchored and plen == 0
     if mode == MODE_MULTI:
         guess = jnp.zeros((L,), jnp.int32)
         entry0 = jnp.zeros((), jnp.int32)
@@ -319,11 +333,27 @@ def _seq_full(masks, vals, lens, data_u8, tiles, n,
         prev_b = data_u8[jnp.clip(lane_ids * T - W - 1, 0,
                                   data_u8.shape[0] - 1)].astype(jnp.int32)
         pnl = (prev_b == 10).astype(jnp.int32)
-        base = 0 if anchored else 2          # valid=1 when no prefix gate
-        guess = pnl | base | (31 << 3)
-        entry0 = jnp.int32(1 | base)         # position 0 is a line start
+        if simple_line:
+            guess = pnl                      # bits 1/3+ unused
+            entry0 = jnp.int32(1)
+        else:
+            base = 0 if anchored else 2      # valid=1 when no prefix gate
+            guess = pnl | base | (31 << 3)
+            entry0 = jnp.int32(1 | base)     # position 0 is a line start
     entries0 = guess.at[0].set(entry0)
     offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
+
+    # Entry-independent lanes need no repair.  For the line machine every
+    # state component (prev_nl, valid, seen, slc) is recomputed from
+    # scratch at a newline, so a lane whose warmup window contains one is
+    # exact whatever its entry guess was; lane 0 runs from the true start.
+    if mode == MODE_LINE:
+        wnl = jnp.zeros(warm.shape[1:], dtype=jnp.bool_)
+        for k in range(4):
+            wnl = wnl | jnp.any(((warm >> (8 * k)) & 255) == 10, axis=0)
+        clean = wnl.reshape(L).at[0].set(True)
+    else:
+        clean = jnp.zeros((L,), dtype=jnp.bool_).at[0].set(True)
 
     def scan_once(entries, offsets):
         counts, exits = _pallas_seq_once(
@@ -340,10 +370,12 @@ def _seq_full(masks, vals, lens, data_u8, tiles, n,
     def want_of(exits):
         return jnp.concatenate([entry0[None], exits[:-1]])
 
+    dirty = real & ~clean
+
     def cond(st):
         k, entries, counts, exits = st
         return (k < max_repair) & jnp.any(
-            real & (want_of(exits) != entries))
+            dirty & (want_of(exits) != entries))
 
     def rep(st):
         k, entries, counts, exits = st
@@ -354,7 +386,7 @@ def _seq_full(masks, vals, lens, data_u8, tiles, n,
 
     k, entries, counts, exits = jax.lax.while_loop(
         cond, rep, (jnp.int32(0), entries0, counts0, exits0))
-    converged = ~jnp.any(real & (want_of(exits) != entries))
+    converged = ~jnp.any(dirty & (want_of(exits) != entries))
     return counts.sum(dtype=jnp.int32), converged
 
 
