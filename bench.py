@@ -1,17 +1,27 @@
-"""Benchmark harness: the reference's headline configs on a 6 MB corpus.
+"""Benchmark harness: ALL 12 of the reference's headline configs
+(README.md:68-79) on the reference's 6 MB-class corpus, tiled up so the
+~26 ms device-sync floor amortizes away.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
 vs_baseline = geometric mean over configs of (reference_ms / our_ms) using
-the reference's published 6 MB numbers (BASELINE.md; README.md:68-78) —
+the reference's published 6 MB numbers (BASELINE.md; README.md:68-79) —
 values > 1 mean faster than the reference on its own benchmarks.
 Details per config go to stderr.
+
+Parity is verified in-bench: the corpus is an exact line-aligned tiling of
+a 6 MB base, and every headline pattern is newline-bounded (no match can
+cross a tile seam), so the exact expected count is reps * oracle(base)
+with Python re as the oracle (identical leftmost-first semantics on these
+ASCII, non-empty-match patterns).  A mismatch marks the config FAIL and
+the summary metric "[PARITY FAIL]".
 """
 
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -33,16 +43,11 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 _T0 = time.time()
 
 
-def build_corpus(size=6 * 1024 * 1024, seed=7) -> bytes:
-    """Log-like corpus: paths, IPs, emails, versions, keywords — modeled on
-    the kolkov/regex-bench style input the reference's README numbers use.
-    Built once at 6 MB and tiled to the target size (content statistics are
-    what matter for throughput)."""
-    base_size = 6 * 1024 * 1024
-    if size > base_size:
-        base = build_corpus(base_size, seed)
-        reps = -(-size // len(base))
-        return (base * reps)[:size]
+def build_base(size=6 * 1024 * 1024, seed=7) -> bytes:
+    """Log-like 6 MB base corpus: paths, IPs, emails, URLs, versions,
+    HTTP verbs, keywords — modeled on the kolkov/regex-bench style input
+    the reference's README numbers use.  Trimmed to the last full line so
+    tiling is line-aligned (needed for the parity oracle)."""
     rng = np.random.default_rng(seed)
     words = [
         b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy",
@@ -54,6 +59,8 @@ def build_corpus(size=6 * 1024 * 1024, seed=7) -> bytes:
         b"192.168.1.10", b"10.0.0.255", b"error", b"keyword",
         b"user@example.com", b"admin@test.org", b"v1.2.3",
         b"/index.php", b"/home/user/www.php", b"file.txt", b"notes.log",
+        b"https://example.com/index.html?q=1", b"http://test.org/a/b",
+        b"DELETE", b"2.14.7",
     ]
     lines = []
     total = 0
@@ -68,7 +75,8 @@ def build_corpus(size=6 * 1024 * 1024, seed=7) -> bytes:
         ln = b" ".join(line) + b"\n"
         lines.append(ln)
         total += len(ln)
-    return b"".join(lines)[:size]
+    base = b"".join(lines)[:size]
+    return base[:base.rfind(b"\n") + 1]
 
 
 ALT32 = "|".join(
@@ -78,19 +86,36 @@ ALT32 = "|".join(
      "closed", "opened", "created", "deleted", "updated", "inserted",
      "removed", "flushed", "synced", "loaded", "stored"])
 
-# (name, pattern, reference ms for 6 MB, source)
+# (name, pattern, reference ms for 6 MB, source) — one row per reference
+# headline class (README.md:68-79 / BASELINE.md) + the single-literal
+# Teddy-throughput headline (README.md:231).
 CONFIGS = [
-    ("literal_error", r"error", 0.65, "Teddy 9 GB/s, README.md:231"),
-    ("charclass_w", r"[\w]+", 41.9, "README.md:78"),
-    ("ip", r"\d+\.\d+\.\d+\.\d+", 0.77, "README.md:69"),
-    ("alt32", ALT32, 4.69, "README.md:76"),
     ("inner_keyword", r".*keyword.*", 0.26, "README.md:68"),
+    ("ip", r"\d+\.\d+\.\d+\.\d+", 0.77, "README.md:69"),
+    ("email", r"[\w.+-]+@[\w.-]+\.[\w.-]+", 0.55, "README.md:70"),
+    ("url", r"\w+://[^\s]+", 0.61, "README.md:71"),
     ("multiline_php", r"(?m)^/.*\.php", 0.38, "README.md:72"),
+    ("version", r"\d+.\d+.\d+", 0.65, "README.md:73"),
     ("suffix_txt", r".*\.txt", 1.79, "README.md:74"),
+    ("http_methods", r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH", 1.51,
+     "README.md:75"),
+    ("alt_literal", r"error|warning|notice|info|debug", 4.69,
+     "README.md:76"),
+    ("multi_literal32", ALT32, 12.9, "README.md:77"),
+    ("charclass_w", r"[\w]+", 41.9, "README.md:78"),
+    ("word_repeat", r"(\w{2,8})+", 179.0, "README.md:79"),
+    ("literal_error", r"error", 0.65, "Teddy 9 GB/s, README.md:231"),
 ]
 
 
 REF_MB = 6 * 1024 * 1024 / 1e6  # reference numbers are for 6 MB inputs
+
+
+def oracle_count(pattern: str, base: bytes) -> int:
+    """Python re span count on the base tile (leftmost-first, ASCII
+    classes on bytes — identical to Go semantics for every headline
+    pattern: non-empty matches, no \\A/\\z, no fold)."""
+    return sum(1 for _ in re.finditer(pattern.encode("ascii"), base))
 
 
 def main():
@@ -102,19 +127,21 @@ def main():
     # reflects scan throughput, and vs_baseline compares
     # per-6MB-equivalent times.  HBM check: corpus u8 + word tiles i32 +
     # flipped variants ~= 4x corpus bytes, well under the 16 GB chip.
-    corpus = build_corpus(size=int(os.environ.get(
-        "BENCH_CORPUS_MB", "1536")) * 1024 * 1024)
+    base = build_base()
+    target = int(os.environ.get("BENCH_CORPUS_MB", "1536")) * 1024 * 1024
+    reps = max(1, target // len(base))
+    corpus = base * reps
     n = len(corpus)
     arr = np.frombuffer(corpus, dtype=np.uint8)
     scale = (n / 1e6) / REF_MB
-    print(f"corpus: {n / 1e6:.1f} MB (x{scale:.1f} of reference 6MB)",
-          file=sys.stderr)
+    check_parity = os.environ.get("BENCH_PARITY", "1") != "0"
+    print(f"corpus: {n / 1e6:.1f} MB ({reps} line-aligned tiles of "
+          f"{len(base)/1e6:.2f} MB)", file=sys.stderr)
 
-    # (span parity batch-vs-host is covered by tests/test_batch.py on the
-    # CPU backend; the bench keeps TPU compiles to the timed kernels only)
     ratios = []
     gbps_all = []
     results = {}
+    parity_all = True
     for name, pattern, ref_ms, src in CONFIGS:
         if time.time() - _T0 > BUDGET_S:
             print(f"  {name}: skipped (budget)", file=sys.stderr)
@@ -131,7 +158,13 @@ def main():
             eng.count(arr)
             times.append(time.perf_counter() - t0)
         best = min(times)
-        ok = True
+        if check_parity:
+            expect = reps * oracle_count(pattern, base)
+            ok = (cnt == expect)
+        else:
+            expect = None
+            ok = True
+        parity_all = parity_all and ok
         gbps = n / best / 1e9
         per6_ms = best * 1e3 / scale
         ratio = ref_ms / per6_ms
@@ -139,10 +172,12 @@ def main():
         gbps_all.append(gbps)
         results[name] = dict(ms=best * 1e3, per6_ms=per6_ms, gbps=gbps,
                              ref_ms=ref_ms, vs_ref=ratio, count=cnt,
-                             strategy=eng.strategy, parity=ok)
+                             expect=expect, strategy=eng.strategy,
+                             parity=ok)
         print(f"  {name:16} {best*1e3:8.2f} ms ({per6_ms:7.2f}/6MB)"
               f"  {gbps:7.2f} GB/s  vs_ref {ratio:6.2f}x  n={cnt}"
-              f"  [{eng.strategy}]  warm={warm:.1f}s",
+              f"  [{eng.strategy}]  warm={warm:.1f}s"
+              f"  {'ok' if ok else 'PARITY FAIL exp=%s' % expect}",
               file=sys.stderr)
 
     if not gbps_all:
@@ -153,10 +188,11 @@ def main():
     geomean_gbps = math.exp(sum(math.log(g) for g in gbps_all)
                             / len(gbps_all))
     vs_baseline = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
-    parity = all(r["parity"] for r in results.values())
+    n_total = len(CONFIGS)
     print(json.dumps({
-        "metric": "geomean GB/s over reference headline configs (6MB)"
-                  + ("" if parity else " [PARITY FAIL]"),
+        "metric": f"geomean GB/s over {len(gbps_all)}/{n_total} reference "
+                  "headline configs (6MB), parity-checked"
+                  + ("" if parity_all else " [PARITY FAIL]"),
         "value": round(geomean_gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(vs_baseline, 3),

@@ -119,13 +119,20 @@ def build_onepass(nfa: NFA, byte_classes: Optional[ByteClasses] = None
             roots = [(states[nid][3], 0)]
 
         stack = list(reversed(roots))
-        visited = set()
+        # visited maps state -> slot mask it was first reached with: a
+        # second epsilon path reaching the same state with a DIFFERENT
+        # mask makes capture assignment ambiguous and the pattern not
+        # one-pass (reference builder.go:161-360 rejects this; keying on
+        # the state alone would silently keep the first path's slots)
+        visited: Dict[int, int] = {}
         stop = False
         while stack and not stop:
             v, mask = stack.pop()
             if v in visited:
+                if visited[v] != mask:
+                    raise NotOnePass("ambiguous epsilon paths")
                 continue
-            visited.add(v)
+            visited[v] = mask
             st = states[v]
             k = st[0]
             if k == Kind.MATCH:

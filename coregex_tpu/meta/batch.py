@@ -15,6 +15,7 @@ import numpy as np
 
 from ..dfa.determinize import DFAOverflow, determinize
 from ..nfa.thompson import compile_nfa
+from ..utils.utf8 import go_rune_width
 from ..syntax.ast import Node, Op
 from ..syntax.parser import Parsed
 from . import literal as litmod
@@ -26,16 +27,7 @@ MAX_STARTS = 1 << 22
 
 
 def _rune_width_np(data: np.ndarray, pos: int) -> int:
-    if pos >= len(data):
-        return 1
-    b = int(data[pos])
-    if b < 0xC0:
-        return 1
-    if b < 0xE0:
-        return 2
-    if b < 0xF0:
-        return 3
-    return 4
+    return go_rune_width(data, pos)
 
 
 def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
@@ -159,10 +151,11 @@ class BatchEngine:
     """Per-pattern batch execution plan + device artifacts."""
 
     def __init__(self, parsed: Parsed, ast: Node, dfas_ok: bool,
-                 longest: bool = False):
+                 longest: bool = False, stats=None):
         self.parsed = parsed
         self.ast = ast
         self.longest = longest
+        self.stats = stats  # Engine.Stats for prefilter hit/miss counters
         self.plan: Plan = select(ast, dfas_ok)
         if longest and self.plan.strategy == Strategy.MULTI_LITERAL:
             # POSIX picks the longest alternative at a position, not the
@@ -173,6 +166,7 @@ class BatchEngine:
         self._host_dense: Dict[str, object] = {}
         self._sieve = None
         self._count_sc = None  # lazy CountScanner; False == unavailable
+        self._sharded_sc = None  # lazy ShardedGoCount; False == unavailable
         self._seq_sc = None  # lazy SeqScanner; False == unavailable
         self._line_sc = None  # lazy LineScanner; False == unavailable
         self._hits_sc = None  # lazy HitsScanner; False == unavailable
@@ -197,6 +191,17 @@ class BatchEngine:
         if kind == "fwd_all":
             nfa = compile_nfa(self.parsed, with_captures=False)
             d = determinize(nfa, anchored=False, break_at_match=False)
+        elif kind == "fwd_break":
+            # unanchored leftmost-first DFA: dies right after the leftmost
+            # match is complete, so "last flag" == leftmost-first end
+            nfa = compile_nfa(self.parsed, with_captures=False)
+            d = determinize(nfa, anchored=False, break_at_match=True)
+        elif kind == "rev_anch":
+            # anchored reverse DFA: match must end exactly at the scan
+            # origin (find_rev_start analogue, dfa/search.py:55)
+            nfa = compile_nfa(self.parsed, reverse=True)
+            d = determinize(nfa, anchored=True, break_at_match=False,
+                            reverse=True)
         elif kind == "rev_all":
             nfa = compile_nfa(self.parsed, reverse=True)
             d = determinize(nfa, anchored=False, break_at_match=False,
@@ -302,9 +307,12 @@ class BatchEngine:
                 cd = build_count_dfa(u)
                 if cd is not None:
                     sc = CountScanner(cd)
-                    if sc.dcd.S * sc.dcd.NSEG <= self.COUNT_TREE_LIMIT \
-                            or sc.impl != "pallas":
-                        self._count_sc = sc
+                    if sc.impl == "pallas" and \
+                            sc.dcd.S * sc.dcd.NSEG > self.COUNT_TREE_LIMIT:
+                        # Mosaic select tree too large: switch to the
+                        # gather-free onehot MXU path (same exactness)
+                        sc = CountScanner(cd, impl="onehot")
+                    self._count_sc = sc
         return self._count_sc
 
     def _seq_scanner(self):
@@ -421,19 +429,49 @@ class BatchEngine:
             setattr(self, slot, False)
             return None
 
+    def _sharded_counter(self):
+        """Lazy multi-device sequence-parallel counter: shards the corpus
+        over the visible device mesh and stitches exactly via transfer
+        functions (parallel/sharded_count.py); False when only one device
+        is visible or the pattern has no count transducer."""
+        if self._sharded_sc is None:
+            self._sharded_sc = False
+            import jax
+            if len(jax.devices()) > 1:
+                sc = self._count_scanner()
+                if sc:
+                    from ..parallel.shard import default_mesh
+                    from ..parallel.sharded_count import ShardedGoCount
+                    self._sharded_sc = ShardedGoCount(sc.cd, default_mesh())
+        return self._sharded_sc
+
     def count(self, data: np.ndarray) -> int:
         """Match count with device-side fast paths (Count,
         meta/findall.go:297 analogue): most strategies reduce to a single
-        launch + one scalar sync without materializing spans."""
+        launch + one scalar sync without materializing spans.  With more
+        than one device visible, the corpus shards over the mesh
+        (SURVEY.md §2.9 sequence parallelism)."""
         import jax
         from ..utils.corpus_cache import device_corpus
         strat = self.plan.strategy
+        shc = self._sharded_counter()
+        if shc:
+            try:
+                return shc.count(data)
+            except Exception as ex:  # pragma: no cover - device specific
+                from .config import debug
+                debug(1, f"sharded count failed ({type(ex).__name__}); "
+                         f"retired: {ex}")
+                self._sharded_sc = False
         dev = device_corpus(data)
         if strat == Strategy.CHARCLASS:
             from ..ops.bytescan import class_run_count
             cc = self.plan.charclass
+            # plus (whole-run) form counts one match per run of len >= min,
+            # exactly the k == -1 reduction
+            kmax = -1 if cc.plus else cc.max
             return class_run_count(dev, np.array(cc.table, dtype=bool),
-                                   cc.min, cc.max)
+                                   cc.min, kmax)
         # parallel single-launch kernels: line shapes and literal sets
         lsc = self._line_scanner()
         if lsc:
@@ -462,6 +500,15 @@ class BatchEngine:
             cnt, overlap = jax.device_get(_multi_count_kernel(dev, lits))
             if not bool(overlap):
                 return int(cnt)
+        # sparse-candidate strategies: when the inner/prefix literal is
+        # rare, the candidate pipeline beats a full-corpus DFA scan
+        if strat in (Strategy.INNER, Strategy.PREFIX_SET):
+            n = len(data)
+            cnt = self._candidate_count(dev)
+            if cnt == 0:
+                return 0
+            if cnt <= max(n // 64, 1024):
+                return len(self.find_all_spans(data))
         # universal single-launch path: the count transducer scan
         sc = self._count_scanner()
         if sc:
@@ -477,6 +524,107 @@ class BatchEngine:
             if c is not None:
                 return c
         return len(self.find_all_spans(data))
+
+    # -- single-match (Find / FindIndex, meta/find.go:29 analogue) --------
+    def find_first(self, data: np.ndarray) -> Optional[Tuple[int, int]]:
+        """Leftmost-first span on device, or None.  Strategy shortcuts for
+        the literal/class families; the general path is the bidirectional
+        two-pass core (dfa/search.py:83 find_span) run as a chunked
+        break-at-match forward scan with geometric prefix escalation +
+        a reverse anchored scan from the found end.  Returns False (host
+        fallback) when the chunk scan fails to converge."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_class_mask_from_table, _memmem_mask,
+                                    _multi_literal_scan, first_set_index)
+        from ..utils.corpus_cache import device_corpus
+        n = len(data)
+        if n == 0:
+            return None
+        dev = device_corpus(data)
+        strat = self.plan.strategy
+        if strat == Strategy.LITERAL:
+            lit = self.plan.literals[0]
+            p = first_set_index(_memmem_mask(dev, tuple(lit)))
+            return None if p >= n else (p, p + len(lit))
+        if strat == Strategy.MULTI_LITERAL:
+            lits = tuple(tuple(l) for l in self.plan.literals)
+            best, blen = _multi_literal_scan(dev, lits)
+            p = first_set_index(best >= 0)
+            if p >= n:
+                return None
+            k = int(jax.device_get(blen[p]))
+            return (p, p + k)
+        if strat == Strategy.CHARCLASS:
+            return self._charclass_first(dev, n)
+        return self._find_first_dfa(dev, data, n)
+
+    def _charclass_first(self, dev, n) -> Optional[Tuple[int, int]]:
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import _class_mask_from_table, first_run_geq
+        cc = self.plan.charclass
+        mask = _class_mask_from_table(dev, np.array(cc.table, dtype=bool))
+        s, L = jax.device_get(first_run_geq(mask, cc.min))
+        s, L = int(s), int(L)
+        if s >= n:
+            return None
+        m, k = cc.min, cc.max
+        if cc.plus:
+            r = L % k
+            return (s, s + L - (r if r < m else 0))
+        if k == -1:
+            return (s, s + L)
+        return (s, s + min(k, L))
+
+    def _find_first_dfa(self, dev, data, n) -> Optional[Tuple[int, int]]:
+        """Two-pass bidirectional find: break-at-match forward chunk scan
+        (its last flag before automaton death is the leftmost-first end)
+        + anchored reverse scan for the earliest start."""
+        import jax
+        import jax.numpy as jnp
+        from ..dfa.dense import CTX_SOT, DEAD
+        from ..ops.dfa_scan import ChunkScanner, flags_last
+        fwd = self._dense("fwd_break")
+        sc = ChunkScanner(fwd)
+        c = min(n, 1 << 22)
+        e = -1
+        while True:
+            flags, exits, conv, (L, T) = sc.scan_device(dev[:c])
+            if not bool(jax.device_get(conv)):
+                return False  # caller falls back to host
+            e = int(jax.device_get(flags_last(flags, c)))
+            exit_c = sc._exit_at_n(dev[:c], exits, L, T, c)
+            dead = exit_c == DEAD
+            if dead:
+                break
+            if c == n:
+                if fwd.host_eoi[exit_c, CTX_SOT]:
+                    e = n
+                break
+            c = min(n, c * 8)
+        if e < 0:
+            return None
+        starts = self._rev_start_flags(dev, data, n, np.array([e]),
+                                       kind="rev_anch")
+        if len(starts) == 0:  # pragma: no cover - fwd/rev disagree
+            return None
+        return (int(starts.min()), e)
+
+    def _candidate_count(self, dev) -> int:
+        """Device count of candidate positions for the INNER / PREFIX_SET
+        prefilter (one launch, one scalar sync) — the runtime density gate
+        (prefilter/tracker.go:37 analogue, resolved per corpus)."""
+        import jax
+        from ..ops.bytescan import _memmem_mask, _multi_literal_scan, \
+            mask_count
+        if self.plan.strategy == Strategy.INNER:
+            mask = _memmem_mask(dev, tuple(self.plan.split.lit))
+        else:
+            lits = tuple(tuple(l) for l in self.plan.prefix_lits)
+            best, _ = _multi_literal_scan(dev, lits)
+            mask = best >= 0
+        return int(jax.device_get(mask_count(mask)))
 
     # .. prefix-run (leading [class]+) .................................
     def _prefix_run_table(self) -> np.ndarray:
@@ -564,7 +712,16 @@ class BatchEngine:
         cc = self.plan.charclass
         starts, ends = class_runs(dev, np.array(cc.table, dtype=bool))
         m, k = cc.min, cc.max
-        if m == 1 and k == -1:
+        if cc.plus:
+            # ([c]{m,k})+ whole-run form: one match per run of length >= m,
+            # greedy k-chunks + remainder iff >= m (CharClassShape.plus)
+            L = ends - starts
+            keep = L >= m
+            L = L[keep]
+            r = L % k
+            M = L - np.where(r < m, r, 0)
+            spans = np.stack([starts[keep], starts[keep] + M], axis=1)
+        elif m == 1 and k == -1:
             spans = np.stack([starts, ends], axis=1)
         else:
             out: List[Tuple[int, int]] = []
@@ -725,16 +882,16 @@ class BatchEngine:
         return np.array([[start, end]], dtype=np.int64)
 
     # .. inner-literal general ...........................................
-    def _rev_start_flags(self, dev, data, n, cand_end: np.ndarray
-                         ) -> np.ndarray:
+    def _rev_start_flags(self, dev, data, n, cand_end: np.ndarray,
+                         kind: str = "rev_prefix") -> np.ndarray:
         """All match-start positions discovered by reverse scans of the
-        prefix DFA anchored at each candidate end.  Returns sorted unique
+        `kind` DFA anchored at each candidate end.  Returns sorted unique
         start offsets."""
         import jax
         import jax.numpy as jnp
         from ..ops.dfa_scan import _bucket, _impl_default, _window_scan_flags
         from ..utils.corpus_cache import device_corpus_flipped
-        rp = self._dense("rev_prefix")
+        rp = self._dense(kind)
         fdev = device_corpus_flipped(data)
         starts_all: List[np.ndarray] = []
         todo = np.arange(len(cand_end))
@@ -786,7 +943,17 @@ class BatchEngine:
         ws = WindowScanner(self._dense(self._verify_kind()))
         ends = ws.ends_for_starts(dev, starts)
         keep = ends >= 0
+        self._note_prefilter(keep)
         return go_select(starts[keep], ends[keep], n, data, limit)
+
+    def _note_prefilter(self, keep: np.ndarray) -> None:
+        """Prefilter effectiveness counters (meta.Stats
+        PrefilterHits/Misses analogue): hits = candidates whose anchored
+        verification produced a match end, misses = the rest."""
+        if self.stats is not None:
+            h = int(keep.sum())
+            self.stats.prefilter_hits += h
+            self.stats.prefilter_misses += len(keep) - h
 
     def _prefix_set_spans(self, dev, data, n, limit) -> np.ndarray:
         """PREFIX_SET: candidate match starts = positions where any
@@ -805,6 +972,7 @@ class BatchEngine:
         ws = WindowScanner(self._dense(self._verify_kind()))
         ends = ws.ends_for_starts(dev, starts)
         keep = ends >= 0
+        self._note_prefilter(keep)
         return go_select(starts[keep], ends[keep], n, data, limit)
 
     # .. full scan ........................................................

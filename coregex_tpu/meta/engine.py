@@ -23,6 +23,7 @@ from ..dfa.determinize import DFAOverflow, determinize
 from ..engines.pikevm import PikeVM
 from ..nfa.thompson import compile_nfa
 from ..syntax.parser import Parsed, parse
+from ..utils.utf8 import go_rune_width
 
 Bytes = Union[bytes, bytearray, memoryview, np.ndarray, str]
 
@@ -41,19 +42,9 @@ def _is_pair_seq(match) -> bool:
 
 
 def _rune_width(data: np.ndarray, pos: int) -> int:
-    """Width of the UTF-8 rune starting at pos (Go's empty-match advance)."""
-    if pos >= len(data):
-        return 1
-    b = int(data[pos])
-    if b < 0x80:
-        return 1
-    if b < 0xC0:
-        return 1  # continuation byte: invalid start, advance 1
-    if b < 0xE0:
-        return 2
-    if b < 0xF0:
-        return 3
-    return 4
+    """Width of the UTF-8 rune starting at pos (Go's empty-match advance:
+    utf8.DecodeRune width, 1 for any invalid sequence)."""
+    return go_rune_width(data, pos)
 
 
 @dataclass
@@ -138,7 +129,8 @@ class Engine:
             from .batch import BatchEngine
             self._batch = BatchEngine(self.parsed, self.parsed.ast,
                                       dfas_ok=self.fwd is not None,
-                                      longest=self.longest)
+                                      longest=self.longest,
+                                      stats=self.stats)
         return self._batch
 
     @property
@@ -204,15 +196,26 @@ class Engine:
     match = is_match
     match_string = is_match
 
+    def _find_span(self, arr: np.ndarray) -> Optional[Tuple[int, int]]:
+        """Leftmost-first span: device two-pass bidirectional scan on
+        corpus-scale inputs (meta/find.go:29 dispatch breadth), host
+        otherwise."""
+        if not self.longest and self._use_batch(arr):
+            self.stats.kernel_scans += 1
+            m = self.batch_engine().find_first(arr)
+            if m is not False:  # False == device scan non-convergence
+                return m
+        return self._find_span_host(arr, 0)
+
     def find_index(self, data: Bytes) -> Optional[Tuple[int, int]]:
         """Regexp.FindIndex: [start, end) byte offsets or None."""
         arr = _as_array(data)
-        return self._find_span_host(arr, 0)
+        return self._find_span(arr)
 
     def find(self, data: Bytes) -> Optional[bytes]:
         """Regexp.Find: matched bytes or None."""
         arr = _as_array(data)
-        m = self._find_span_host(arr, 0)
+        m = self._find_span(arr)
         if m is None:
             return None
         return arr[m[0]:m[1]].tobytes()
@@ -356,15 +359,44 @@ class Engine:
         return [None if b is None else
                 b.decode("utf-8", errors="surrogateescape") for b in res]
 
+    def _batch_captures(self, arr: np.ndarray, spans):
+        """Device OnePass capture extraction over many spans at once
+        (dfa/onepass/onepass.go:33-93 batched); returns a list aligned
+        with spans of flat slot tuples or None (host re-extracts)."""
+        out = [None] * len(spans)
+        if self.longest or len(spans) < 64:
+            return out
+        op = self._onepass_dfa()
+        if not op:
+            return out
+        try:
+            import jax  # noqa: F401
+            from ..ops.onepass_scan import OnePassScanner
+            from ..utils.corpus_cache import device_corpus
+        except Exception:  # pragma: no cover - jax-free env
+            return out
+        if getattr(self, "_onepass_sc", None) is None:
+            self._onepass_sc = OnePassScanner(op)
+        dev = device_corpus(arr)
+        sp = np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+        slots, ok = self._onepass_sc.extract(dev, sp)
+        self.stats.kernel_scans += 1
+        for i in range(len(spans)):
+            if ok[i]:
+                out[i] = tuple(int(v) for v in slots[i])
+        return out
+
     def find_all_submatch_index(self, data: Bytes, n: int = -1):
         arr = _as_array(data)
         spans = self._all_spans(arr, n)
         if not spans:
             return None
         text = bytes(arr.tobytes())
+        batched = self._batch_captures(arr, spans)
         out = []
-        for s, e in spans:
-            m = self._captures_in_span(arr, text, (s, e))
+        for (s, e), m in zip(spans, batched):
+            if m is None:
+                m = self._captures_in_span(arr, text, (s, e))
             groups = []
             if m is not None:
                 for i in range(0, len(m), 2):
@@ -393,9 +425,14 @@ class Engine:
         last = 0
         spans = self._all_spans(arr, -1)
         text = bytes(arr.tobytes())
-        for s, e in spans:
+        # $-free templates never read groups: skip capture extraction
+        need_caps = b"$" in repl_b
+        batched = self._batch_captures(arr, spans) if need_caps \
+            else [()] * len(spans)
+        for (s, e), m in zip(spans, batched):
             out += text[last:s]
-            m = self._captures_in_span(arr, text, (s, e))
+            if need_caps and m is None:
+                m = self._captures_in_span(arr, text, (s, e))
             out += self._expand(repl_b, text, m)
             last = e
         out += text[last:]

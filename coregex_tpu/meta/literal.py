@@ -95,10 +95,23 @@ def ascii_class_table(node: Node) -> Optional[List[bool]]:
 
 @dataclass
 class CharClassShape:
-    """Pattern is exactly [class]{m,k} (greedy), m >= 1; k == -1 unbounded."""
+    """Pattern is exactly [class]{m,k} (greedy), m >= 1; k == -1 unbounded.
+
+    `plus` marks the ([class]{m,k})+ whole-run form (the reference's "word
+    repeat" benchmark class, README.md:79): one leftmost-first match per
+    maximal class run of length L >= m, of length L - (L%k if L%k < m
+    else 0) — greedy chunks of k plus a final remainder chunk iff it still
+    satisfies {m,k}."""
     table: List[bool]
     min: int
     max: int  # -1 unbounded
+    plus: bool = False
+
+
+def _uncap(node: Node) -> Node:
+    while node.op == Op.CAPTURE:
+        node = node.subs[0]
+    return node
 
 
 def charclass_shape(node: Node) -> Optional[CharClassShape]:
@@ -106,9 +119,23 @@ def charclass_shape(node: Node) -> Optional[CharClassShape]:
         inner = charclass_shape(node.subs[0])
         return inner
     if node.op == Op.PLUS and node.greedy:
-        t = ascii_class_table(node.subs[0])
+        sub = _uncap(node.subs[0])
+        t = ascii_class_table(sub)
         if t is not None:
             return CharClassShape(t, 1, -1)
+        # ([class]{m,k})+  — whole-run with remainder adjustment.  With an
+        # unbounded inner (k == -1) one greedy iteration eats the whole
+        # run, so it degenerates to [class]{m,}.
+        if sub.op == Op.REPEAT and sub.greedy and sub.min >= 1:
+            ti = ascii_class_table(_uncap(sub.subs[0]))
+            if ti is not None:
+                if sub.max == -1:
+                    return CharClassShape(ti, sub.min, -1)
+                return CharClassShape(ti, sub.min, sub.max, plus=True)
+        if sub.op == Op.PLUS and sub.greedy:
+            ti = ascii_class_table(_uncap(sub.subs[0]))
+            if ti is not None:
+                return CharClassShape(ti, 1, -1)
     if node.op == Op.REPEAT and node.greedy and node.min >= 1:
         t = ascii_class_table(node.subs[0])
         if t is not None:
@@ -153,8 +180,29 @@ class InnerSplit:
     # (only meaningful when line_anchored and A == ^ P .*)
 
 
+# Bytes common in natural text / logs: candidate scans keyed on one of
+# these drown in false positives.  Everything else (mostly punctuation and
+# control bytes: @ # $ % ^ & * | \ ~ { } [ ] < > = + ; ? !) is rare enough
+# to anchor an inner-literal scan on — the TPU reframing of the
+# reference's empirical byte-frequency ranking (simd/byte_frequencies.go:18
+# SelectRareBytes), which serves the same purpose for memmem needles.
+_COMMON_BYTES = frozenset(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    b" \t\n\r.,-_'\"/:)(")
+
+
+def is_rare_byte(b: int) -> bool:
+    return b not in _COMMON_BYTES
+
+
 def inner_split(root: Node) -> Optional[InnerSplit]:
-    """Find the best single inner literal in a top-level concatenation."""
+    """Find the best single inner literal in a top-level concatenation.
+
+    Literals of length >= 2 are always usable; a length-1 literal is
+    accepted only when its byte is rare (is_rare_byte), which unlocks the
+    email class `[\\w.+-]+@[\\w.-]+\\.[\\w.-]+` — candidates keyed on the
+    `@` (the reference routes this through its digit/rare-byte prefilter
+    machinery, prefilter/prefilter.go:249-297)."""
     node = root
     while node.op == Op.CAPTURE:
         node = node.subs[0]
@@ -166,11 +214,20 @@ def inner_split(root: Node) -> Optional[InnerSplit]:
 
     best_i = -1
     best_lit: Optional[bytes] = None
+    rare_i = -1
+    rare_lit: Optional[bytes] = None
     for i, ch in enumerate(children):
         lits = exact_literals(ch)
-        if lits is not None and len(lits) == 1 and len(lits[0]) >= 2:
-            if best_lit is None or len(lits[0]) > len(best_lit):
-                best_i, best_lit = i, lits[0]
+        if lits is None or len(lits) != 1:
+            continue
+        l = lits[0]
+        if len(l) >= 2:
+            if best_lit is None or len(l) > len(best_lit):
+                best_i, best_lit = i, l
+        elif len(l) == 1 and is_rare_byte(l[0]) and rare_lit is None:
+            rare_i, rare_lit = i, l
+    if best_lit is None and rare_lit is not None:
+        best_i, best_lit = rare_i, rare_lit
     if best_lit is None:
         return None
 

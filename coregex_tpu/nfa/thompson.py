@@ -70,12 +70,63 @@ class Compiler:
             anchored = body.start
         nfa.start_anchored = anchored
 
-        # unanchored (?s:.)*? prefix: prefer entering the pattern (leftmost)
+        # unanchored (?s:.)*? prefix: prefer entering the pattern
+        # (leftmost).  Go's unanchored search only probes rune boundaries
+        # as match starts (reference nfa/compile.go:1633 compiles a rune
+        # prefix), so when a match could begin mid-sequence — the pattern
+        # is nullable (empty-width matches anywhere) or a class carries
+        # the invalid-byte branch (first byte 0x80+) — the loop must step
+        # RUNES (valid UTF-8 sequence, or one invalid byte).  Otherwise
+        # every match start byte is ASCII or a valid lead byte, byte- and
+        # rune-stepping probe the same match set, and the single-state
+        # byte loop keeps byte classes compact (<= 4 for ASCII patterns)
+        # for the dense kernels.
         loop = nfa.add_split([anchored, -1])
-        any_byte = nfa.add_range(0, 255, loop)
-        nfa.patch(loop, 2, any_byte)
+        if self._needs_rune_prefix(parsed.ast):
+            any_rune = self._compile_class(((0, 0x10FFFF),))
+            for h in any_rune.outs:
+                nfa.patch(*h, loop)
+            nfa.patch(loop, 2, any_rune.start)
+        else:
+            any_byte = nfa.add_range(0, 255, loop)
+            nfa.patch(loop, 2, any_byte)
         nfa.start_unanchored = loop
         return nfa
+
+    @staticmethod
+    def _needs_rune_prefix(ast: Node) -> bool:
+        """True when a match could start mid-rune under byte stepping:
+        the pattern can match empty, or some class matches invalid bytes
+        (contains U+FFFD, so its NFA grows the 0x80+ single-byte
+        branch)."""
+
+        def nullable(n: Node) -> bool:
+            op = n.op
+            if op in (Op.EMPTY, Op.STAR, Op.QUEST):
+                return True
+            if op in (Op.BEGIN_LINE, Op.END_LINE, Op.BEGIN_TEXT,
+                      Op.END_TEXT, Op.WORD_BOUNDARY, Op.NO_WORD_BOUNDARY):
+                return True
+            if op == Op.LITERAL:
+                return len(n.runes) == 0
+            if op == Op.PLUS or op == Op.CAPTURE:
+                return nullable(n.subs[0])
+            if op == Op.REPEAT:
+                return n.min == 0 or nullable(n.subs[0])
+            if op == Op.CONCAT:
+                return all(nullable(s) for s in n.subs)
+            if op == Op.ALTERNATE:
+                return any(nullable(s) for s in n.subs)
+            return False
+
+        def has_fffd(n: Node) -> bool:
+            if n.op in (Op.ANY_CHAR, Op.ANY_NOT_NL):
+                return True
+            if n.op == Op.CHAR_CLASS:
+                return any(lo <= 0xFFFD <= hi for lo, hi in n.ranges)
+            return any(has_fffd(s) for s in (n.subs or ()))
+
+        return nullable(ast) or has_fffd(ast)
 
     # ------------------------------------------------------------------
     def _check_size(self):
@@ -181,6 +232,19 @@ class Compiler:
             return sid
 
         children = [build_seq(seq) for seq in seqs]
+        # Go-parity for invalid UTF-8: a class containing U+FFFD (any
+        # negated class, `.`, \D, ...) also matches each invalid byte as a
+        # single width-1 character, because Go's DecodeRune yields
+        # RuneError there (reference nfa/compile.go:557-567).  Unlike the
+        # reference's 0x80-0xFF branch, we exclude valid lead bytes
+        # 0xC2-0xF4 so the branch can never eat the first byte of a valid
+        # sequence (the reference's branch makes `^[^a][^a]\z` match the
+        # single rune "é", which Go rejects); the only remaining
+        # divergence is a valid lead followed by a bad continuation,
+        # which needs 1-byte lookahead no NFA can express.
+        if any(lo <= 0xFFFD <= hi for lo, hi in ranges):
+            children.append(self.nfa.add_range(0x80, 0xC1, join))
+            children.append(self.nfa.add_range(0xF5, 0xFF, join))
         # dedup preserving order
         seen = set()
         uniq = [c for c in children if not (c in seen or seen.add(c))]

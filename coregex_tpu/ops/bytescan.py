@@ -52,6 +52,37 @@ def mask_positions(mask: jnp.ndarray) -> np.ndarray:
     return idx.astype(np.int64)
 
 
+@jax.jit
+def _first_set_kernel(mask: jnp.ndarray):
+    """Index of the first set entry, or mask.shape[0] if none."""
+    return jnp.argmax(mask) + jnp.where(jnp.any(mask), 0, mask.shape[0])
+
+
+def first_set_index(mask: jnp.ndarray) -> int:
+    """First set index (host int), or mask.shape[0] (one scalar sync)."""
+    return int(jax.device_get(_first_set_kernel(mask)))
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def first_run_geq(mask: jnp.ndarray, m: int):
+    """(start, length) of the first maximal run of set entries with
+    length >= m; start == mask.shape[0] when none exists."""
+    n = mask.shape[0]
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
+    nxt = jnp.concatenate([mask[1:], jnp.zeros(1, bool)])
+    is_start = mask & ~prev
+    is_end = mask & ~nxt
+    latest_start = jax.lax.cummax(jnp.where(is_start, idxs, -1))
+    run_len = jnp.where(is_end, idxs - latest_start + 1, 0)
+    ok = is_end & (run_len >= m)
+    first_end = jnp.argmax(ok) + jnp.where(jnp.any(ok), 0, n)
+    fe = jnp.minimum(first_end, n - 1)
+    L = run_len[fe]
+    s = jnp.where(first_end >= n, n, fe - L + 1)
+    return s, L
+
+
 @functools.partial(jax.jit, static_argnames=("byte",))
 def _memchr_mask(data: jnp.ndarray, byte: int) -> jnp.ndarray:
     return data == np.uint8(byte)

@@ -288,6 +288,54 @@ def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
                 limits.reshape(8, Lc), S=S, NSEG=NSEG, NB=NB, T4=T4,
                 Tt4=Tt4, W4=W4, Lc=Lc, interpret=interpret)
             return counts.reshape(L), exits.reshape(L)
+    elif impl == "onehot":
+        # gather-free MXU path for tables too large for the Mosaic select
+        # tree: per byte, onehot(state) @ packed -> per-lane row, then a
+        # class-onehot select (the dfa_scan.make_step scheme with the
+        # emit channel carried in the packed value)
+        packed_f = packed.astype(jnp.float32)
+
+        def classify(b):
+            return jnp.searchsorted(bounds, b, side="right").astype(
+                jnp.int32)
+
+        def step_oh(s, b):
+            c = classify(b)
+            oh_s = (s[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (1, S), 1)).astype(jnp.float32)        # [L, S]
+            rows = jnp.dot(oh_s, packed_f,
+                           preferred_element_type=jnp.float32)    # [L, NSEG]
+            oh_c = (c[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (1, NSEG), 1))                         # [L, NSEG]
+            val = jnp.sum(jnp.where(oh_c, rows, 0.0),
+                          axis=1).astype(jnp.int32)
+            return val >> 5, val & 31
+
+        def scan_once(entries, offsets):
+            def body(carry, xc):
+                s, cnt = carry
+                w, is_warm, widx = xc
+                for k in range(4):
+                    b = (w >> (8 * k)) & 255
+                    nxt, emit = step_oh(s, b)
+                    live = jnp.where(
+                        is_warm, (widx * 4 + k) >= offsets,
+                        (widx * 4 + k) < limits)
+                    cnt = cnt + jnp.where(live & ~is_warm, emit, 0)
+                    s = jnp.where(live, nxt, s)
+                return (s, cnt), None
+
+            warm_flat = warm.reshape(W4, L)
+            main_flat = tiles.reshape(T4, L)
+            xs_w = (warm_flat, jnp.ones(W4, bool),
+                    jnp.arange(W4, dtype=jnp.int32))
+            xs_m = (main_flat, jnp.zeros(T4, bool),
+                    jnp.arange(T4, dtype=jnp.int32))
+            cnt0 = jnp.zeros((L,), jnp.int32)
+            (s1, _), _ = jax.lax.scan(body, (entries, cnt0), xs_w,
+                                      unroll=2)
+            (s2, cnt), _ = jax.lax.scan(body, (s1, cnt0), xs_m, unroll=2)
+            return cnt, s2
     else:
         delta_t = packed >> 5
         emit_t = packed & 31

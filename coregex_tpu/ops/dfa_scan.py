@@ -369,6 +369,15 @@ def flags_count(flags: jnp.ndarray) -> jnp.ndarray:
     return flags.sum(dtype=jnp.int32)
 
 
+@jax.jit
+def flags_last(flags: jnp.ndarray, n) -> jnp.ndarray:
+    """Largest set flag offset < n, or -1 (padding regions masked)."""
+    L, T = flags.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) * T + \
+        jax.lax.broadcasted_iota(jnp.int32, (L, T), 1)
+    return jnp.max(jnp.where(flags & (idx < n), idx, -1))
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _flags_positions(flags: jnp.ndarray, n: int, cap: int):
     from .bytescan import _mask_nonzero

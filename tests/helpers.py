@@ -1,17 +1,27 @@
-"""Differential-test oracles.
+"""Differential-test oracles with Go rune semantics.
 
-Python `re` over *bytes* shares Go regexp's core semantics for our supported
-subset (leftmost-first, ASCII \\w\\d\\s\\b on bytes).  Known divergences we
-translate around:
+Go regexp matches *runes* over byte haystacks (regexp/syntax semantics):
+a valid UTF-8 sequence is one character, and each invalid byte decodes as
+one RuneError-width-1 character — so `.` and negated classes match it as
+a 1-byte span.  The oracle reproduces this by running Python `re` in str
+mode (re.ASCII keeps \\w\\d\\s\\b byte-oriented like Go's) over a
+surrogateescape decoding of the haystack, then mapping char offsets back
+to byte offsets (each surrogate char encodes exactly the one invalid
+byte, matching Go's DecodeRune widths).
+
+Known divergences we translate around:
   * Go's `$` (non-multiline) == absolute end (\\Z in Python); oracle
     patterns use \\Z or (?m).
   * Go's FindAll empty-match rule (regexp.go allMatches) differs from
     Python finditer — we re-implement Go's loop on top of re.search.
+  * Go's \\B matches empty text; Python's does not (callers skip).
 """
 
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 
@@ -44,49 +54,98 @@ def go_pattern(pat: str) -> str:
     out = pat.replace(r"\z", r"\Z")
     for k, v in _POSIX.items():
         out = out.replace(k, v)
+    if "(?m" not in out:
+        # Go's non-multiline $ is absolute end-of-text (\z); Python's $
+        # also matches before a final newline.  Rewrite unescaped $
+        # outside char classes.
+        res = []
+        esc = in_class = False
+        for ch in out:
+            if esc:
+                res.append(ch)
+                esc = False
+                continue
+            if ch == "\\":
+                res.append(ch)
+                esc = True
+                continue
+            if ch == "[" and not in_class:
+                in_class = True
+            elif ch == "]" and in_class:
+                in_class = False
+            if ch == "$" and not in_class:
+                res.append(r"\Z")
+            else:
+                res.append(ch)
+        out = "".join(res)
     return out
 
 
-def compile_oracle(pat: str):
-    return re.compile(go_pattern(pat).encode("utf-8"))
+class Oracle:
+    """Compiled Python-re oracle in char space; all public spans are
+    byte offsets."""
+
+    def __init__(self, pat: str):
+        self.rx = re.compile(go_pattern(pat), re.ASCII)
+        self.groups = self.rx.groups
 
 
-def oracle_search(rx, data: bytes, pos: int = 0
+@lru_cache(maxsize=4096)
+def _prep(data: bytes):
+    """(decoded str, byte offset of every char boundary [len(s)+1])."""
+    s = data.decode("utf-8", "surrogateescape")
+    offs = [0]
+    for ch in s:
+        offs.append(offs[-1] + len(ch.encode("utf-8", "surrogateescape")))
+    return s, offs
+
+
+def _char_pos(offs, bytepos: int) -> int:
+    return bisect_left(offs, bytepos)
+
+
+def compile_oracle(pat: str) -> Oracle:
+    return Oracle(pat)
+
+
+def oracle_search(rx: Oracle, data: bytes, pos: int = 0
                   ) -> Optional[Tuple[int, int]]:
-    m = rx.search(data, pos)
-    return m.span() if m else None
+    s, offs = _prep(data)
+    m = rx.rx.search(s, _char_pos(offs, pos))
+    if not m:
+        return None
+    a, b = m.span()
+    return (offs[a], offs[b])
 
 
-def go_all_matches(rx, data: bytes, limit: int = -1
+def go_all_matches(rx: Oracle, data: bytes, limit: int = -1
                    ) -> List[Tuple[int, int]]:
-    """Go regexp.allMatches loop using re.search as doExecute."""
+    """Go regexp.allMatches loop using re.search as doExecute (char
+    space; Go advances empty matches by one rune == one char here)."""
+    s, offs = _prep(data)
     out: List[Tuple[int, int]] = []
-    n = len(data)
+    n = len(s)
     pos = 0
     prev_end = -1
     while pos <= n and (limit < 0 or len(out) < limit):
-        m = rx.search(data, pos)
+        m = rx.rx.search(s, pos)
         if not m:
             break
-        s, e = m.span()
+        a, b = m.span()
         accept = True
-        if e == pos:
-            if s == prev_end:
+        if b == pos:
+            if a == prev_end:
                 accept = False
-            w = rune_width(data, pos)
-            if w > 0:
-                pos += w
-            else:
-                pos = n + 1
+            pos += 1
         else:
-            pos = e
-        prev_end = e
+            pos = b
+        prev_end = b
         if accept:
-            out.append((s, e))
+            out.append((offs[a], offs[b]))
     return out
 
 
-def go_split(rx, data: bytes, n: int = -1) -> List[bytes]:
+def go_split(rx: Oracle, data: bytes, n: int = -1) -> List[bytes]:
     if n == 0:
         return []
     spans = go_all_matches(rx, data)
@@ -105,12 +164,29 @@ def go_split(rx, data: bytes, n: int = -1) -> List[bytes]:
     return out
 
 
-def oracle_groups(rx, data: bytes, pos: int = 0):
-    m = rx.search(data, pos)
+def oracle_groups(rx: Oracle, data: bytes, pos: int = 0):
+    s, offs = _prep(data)
+    m = rx.rx.search(s, _char_pos(offs, pos))
     if not m:
         return None
     out = []
     for i in range(rx.groups + 1):
         sp = m.span(i)
-        out.append(None if sp == (-1, -1) else sp)
+        out.append(None if sp == (-1, -1) else (offs[sp[0]], offs[sp[1]]))
+    return out
+
+
+def oracle_group_bytes(rx: Oracle, data: bytes, start: int, end: int
+                       ) -> Optional[List[Optional[bytes]]]:
+    """Group texts of the match anchored at byte `start` within
+    [start, end) — the oracle for $-template expansion of a known span."""
+    s, offs = _prep(data)
+    m = rx.rx.match(s, _char_pos(offs, start), _char_pos(offs, end))
+    if not m:
+        return None
+    out: List[Optional[bytes]] = []
+    for i in range(rx.groups + 1):
+        g = m.group(i)
+        out.append(None if g is None
+                   else g.encode("utf-8", "surrogateescape"))
     return out

@@ -41,3 +41,42 @@ def test_sharded_flags_exact():
     got = np.asarray(jax.device_get(fn(np.asarray(text))))
     exp = dense.scan_all_ends(text)[:-1]
     assert np.array_equal(got, exp)
+
+
+class TestShardedEngineCount:
+    """Engine.count through the mesh (round 2: the public API reaches the
+    multi-chip path, VERDICT item 6)."""
+
+    def test_engine_count_sharded_matches_host(self):
+        import jax
+        from coregex_tpu.meta.engine import Engine
+        assert len(jax.devices()) >= 8
+        text = (b"a1.2.3b 10.0.0.1 v9.9.9 xx 1.2 " * 257)[:-5]
+        eng = Engine.compile(r"\d+\.\d+\.\d+")
+        eng.batch_threshold = 0
+        got = eng.count(text)
+        assert eng.batch_engine()._sharded_counter(), \
+            "multi-device mesh must activate the sharded counter"
+        host = Engine.compile(r"\d+\.\d+\.\d+")
+        host.batch_threshold = 1 << 60
+        assert got == host.count(text)
+
+    def test_sharded_go_count_tail_and_empty(self):
+        import numpy as np
+        from coregex_tpu.dfa.countdfa import build_count_dfa
+        from coregex_tpu.dfa.determinize import determinize
+        from coregex_tpu.meta.engine import Engine
+        from coregex_tpu.nfa.thompson import compile_nfa
+        from coregex_tpu.parallel.shard import default_mesh
+        from coregex_tpu.parallel.sharded_count import ShardedGoCount
+        e = Engine.compile(r"ab+")
+        nfa = compile_nfa(e.parsed, with_captures=False)
+        cd = build_count_dfa(
+            determinize(nfa, anchored=False, break_at_match=True))
+        shc = ShardedGoCount(cd, default_mesh())
+        host = Engine.compile(r"ab+")
+        host.batch_threshold = 1 << 60
+        for text in (b"", b"ab", b"abbb xx ab a abb" * 37 + b"ab",
+                     b"x" * 8 + b"abb"):
+            arr = np.frombuffer(text, np.uint8)
+            assert shc.count(arr) == host.count(text), text[:20]
