@@ -28,13 +28,21 @@ import time
 import numpy as np
 
 # Persistent XLA compilation cache: kernel compiles through the remote
-# compile service cost 20-230 s each; cached executables make repeat
-# bench runs reflect scan time, not compile time.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# compile service cost 20-600 s each; cached executables make repeat
+# bench runs reflect scan time, not compile time.  The environment's
+# sitecustomize imports jax before this script runs, so env vars are NOT
+# read — the cache must be enabled through jax.config.update post-import.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+import jax  # noqa: E402
+
+for _k, _v in (("jax_compilation_cache_dir", _CACHE_DIR),
+               ("jax_persistent_cache_min_entry_size_bytes", 0),
+               ("jax_persistent_cache_min_compile_time_secs", 0.5)):
+    try:
+        jax.config.update(_k, _v)
+    except Exception:
+        pass
 
 # Wall-clock budget: emit the JSON line with whatever completed rather than
 # being killed by an external timeout (remote kernel compiles can queue for

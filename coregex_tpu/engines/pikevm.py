@@ -22,6 +22,15 @@ class PikeVM:
         self.nfa = nfa
         self.states = nfa.states
         self.num_slots = nfa.num_slots
+        self._fb_table: Optional[bytes] = None
+
+    def set_first_bytes(self, first: "set[int]") -> None:
+        """Enable skip-ahead over bytes that cannot start a match (the
+        prefilter SkipAhead wiring of the reference's PikeVM,
+        nfa/pikevm.go:85-96, backed by the FirstByteSet analogue in
+        meta/literal.py:first_bytes).  `first` must be a complete
+        (over-approximate) set of possible match-start bytes."""
+        self._fb_table = bytes(1 if b in first else 0 for b in range(256))
 
     # -- look evaluation -------------------------------------------------
     @staticmethod
@@ -98,6 +107,7 @@ class PikeVM:
         states = self.states
 
         pos = start
+        fb_mask: Optional[bytes] = None
         while True:
             on_q: set = set()
             if curr:
@@ -132,10 +142,14 @@ class PikeVM:
             pos += 1
             if not curr and (matched is not None or anchored):
                 break
-            if not curr and matched is None and not anchored:
-                # no live threads: skip ahead is handled by prefilters at
-                # the engine layer; here just continue seeding
-                pass
+            if not curr and matched is None and not anchored \
+                    and self._fb_table is not None:
+                # no live threads: memchr-style skip to the next byte that
+                # can start a match (C-speed translate + find)
+                if fb_mask is None:
+                    fb_mask = text.translate(self._fb_table)
+                hit = fb_mask.find(1, pos, n)
+                pos = n if hit < 0 else hit
         return matched
 
     # convenience: span only

@@ -259,14 +259,31 @@ class BatchEngine:
             return self._prefix_set_spans(dev, data, n, limit)
         if strat == Strategy.PREFIX_RUN:
             return self._prefix_run_spans(dev, data, n, limit)
+        if strat == Strategy.END_ANCHORED:
+            return self._end_anchored_spans(data, n)
         if strat == Strategy.FULL_SCAN:
             return self._full_scan_spans(dev, data, n, limit)
         raise RuntimeError("host strategy should not reach BatchEngine")
+
+    def _end_anchored_spans(self, data: np.ndarray, n: int) -> np.ndarray:
+        """End-anchored (`$`/`\\z`) patterns have at most one match, ending
+        exactly at n: a single backward anchored-reverse scan finds its
+        start (ReverseAnchoredSearcher, meta/reverse_anchored.go:98) in
+        O(match length) — no forward corpus scan at all."""
+        from ..dfa.search import find_rev_start
+        self._dense("rev_anch")
+        rev = self._host_dense["rev_anch"]
+        s = find_rev_start(rev, data, 0, n)
+        if s < 0:
+            return np.empty((0, 2), dtype=np.int64)
+        return np.array([[s, n]], dtype=np.int64)
 
     def is_match(self, data: np.ndarray) -> bool:
         import jax
         n = len(data)
         strat = self.plan.strategy
+        if strat == Strategy.END_ANCHORED:
+            return len(self._end_anchored_spans(data, n)) > 0
         if strat != Strategy.FULL_SCAN:
             return len(self.find_all_spans(data, limit=1)) > 0
         from ..dfa.dense import CTX_SOT
@@ -454,6 +471,8 @@ class BatchEngine:
         import jax
         from ..utils.corpus_cache import device_corpus
         strat = self.plan.strategy
+        if strat == Strategy.END_ANCHORED:
+            return len(self._end_anchored_spans(data, len(data)))
         shc = self._sharded_counter()
         if shc:
             try:
@@ -501,14 +520,20 @@ class BatchEngine:
             if not bool(overlap):
                 return int(cnt)
         # sparse-candidate strategies: when the inner/prefix literal is
-        # rare, the candidate pipeline beats a full-corpus DFA scan
+        # rare, the candidate pipeline beats a full-corpus DFA scan.  The
+        # threshold is deliberately tight (one candidate per 4 KB): the
+        # span pipeline pays per-candidate window scans plus host span
+        # selection, while the CountDFA scan below runs at full DFA
+        # bandwidth regardless of density (the prefilter-effectiveness
+        # rule of prefilter/tracker.go:37, applied ahead of time).
         if strat in (Strategy.INNER, Strategy.PREFIX_SET):
             n = len(data)
             cnt = self._candidate_count(dev)
             if cnt == 0:
                 return 0
-            if cnt <= max(n // 64, 1024):
-                return len(self.find_all_spans(data))
+            if cnt <= max(n >> 12, 1024) or not self._count_scanner():
+                if cnt <= max(n // 64, 1024):
+                    return len(self.find_all_spans(data))
         # universal single-launch path: the count transducer scan
         sc = self._count_scanner()
         if sc:
@@ -557,6 +582,9 @@ class BatchEngine:
             return (p, p + k)
         if strat == Strategy.CHARCLASS:
             return self._charclass_first(dev, n)
+        if strat == Strategy.END_ANCHORED:
+            sp = self._end_anchored_spans(data, n)
+            return None if len(sp) == 0 else (int(sp[0, 0]), int(sp[0, 1]))
         return self._find_first_dfa(dev, data, n)
 
     def _charclass_first(self, dev, n) -> Optional[Tuple[int, int]]:

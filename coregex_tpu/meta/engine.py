@@ -79,6 +79,10 @@ class Engine:
         self.nfa_nocap = compile_nfa(parsed, with_captures=False)
         self.nfa_rev = compile_nfa(parsed, reverse=True)
         self.pikevm = PikeVM(self.nfa)
+        from . import literal as _litmod
+        fb = _litmod.first_bytes(parsed.ast)
+        if fb is not None:
+            self.pikevm.set_first_bytes(fb)
 
         # Dense DFAs (eager). On overflow fall back to PikeVM-only.
         self.fwd: Optional[DenseDFA] = None
@@ -612,6 +616,57 @@ class Engine:
             else:
                 flat.append(int(v))
         return self._expand(tmpl, text, tuple(flat))
+
+    # -- batched many-strings APIs (BranchDispatch/FirstByteSet subsumed,
+    #    nfa/branch_dispatch.go:18-40 + nfa/firstbytes.go:8-41: the dense
+    #    row scan dispatches and rejects every row's first byte with the
+    #    same table gather; ops/rowscan.py) ------------------------------
+    def _row_batch(self):
+        if getattr(self, "_rows", None) is None:
+            from ..ops.rowscan import RowBatch
+            self._rows = RowBatch(self.fwd, self.rev)
+        return self._rows
+
+    def _batch_rows_ok(self) -> bool:
+        try:
+            import jax  # noqa: F401
+        except Exception:  # pragma: no cover - jax-free env
+            return False
+        return self.fwd is not None and self.rev is not None \
+            and not self.longest
+
+    def is_match_batch(self, texts: Sequence[Bytes]) -> List[bool]:
+        """Match one pattern against many independent strings in a single
+        device launch (the reference's per-call anchored dispatch loop,
+        re-expressed as a [B, L] column-lockstep DFA scan)."""
+        if not self._batch_rows_ok():
+            return [self.is_match(t) for t in texts]
+        from ..ops.rowscan import pack_rows
+        rows, lens = pack_rows([_as_array(t).tobytes() for t in texts])
+        self.stats.kernel_scans += 1
+        found, _ = self._row_batch().match_ends(rows, lens)
+        return [bool(f) for f in found[:len(texts)]]
+
+    def find_index_batch(self, texts: Sequence[Bytes]
+                         ) -> List[Optional[Tuple[int, int]]]:
+        """Leftmost-first span per string, two launches total: forward
+        ends (break-at-match rows scan) + reverse anchored starts."""
+        if not self._batch_rows_ok():
+            return [self.find_index(t) for t in texts]
+        from ..ops.rowscan import pack_rows
+        rows, lens = pack_rows([_as_array(t).tobytes() for t in texts])
+        rb = self._row_batch()
+        self.stats.kernel_scans += 1
+        found, ends = rb.match_ends(rows, lens)
+        ends = np.where(found, ends, -1)
+        starts = rb.rev_starts(rows, lens, ends.astype(np.int32))
+        out: List[Optional[Tuple[int, int]]] = []
+        for b in range(len(texts)):
+            if not found[b]:
+                out.append(None)
+            else:
+                out.append((int(starts[b]), int(ends[b])))
+        return out
 
     # -- streaming (MatchReader family, regex.go:1619-1667 analogue) -----
     def is_match_reader(self, reader, chunk_size: int = 1 << 20) -> bool:

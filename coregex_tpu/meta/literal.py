@@ -344,6 +344,110 @@ def has_start_anchor(node: Node) -> bool:
     return False
 
 
+def has_end_anchor(node: Node) -> bool:
+    """Every match ends exactly at end of text (every alternative ends with
+    `$`/`\\z` — Go's `$` is \\z outside (?m)).  Such patterns get the
+    ReverseAnchoredSearcher treatment (meta/reverse_anchored.go:33): one
+    O(match-length) backward scan from the end instead of an O(n) forward
+    scan."""
+    op = node.op
+    if op == Op.END_TEXT:
+        return True
+    if op == Op.CAPTURE:
+        return has_end_anchor(node.subs[0])
+    if op == Op.CONCAT:
+        for s in reversed(node.subs):
+            if has_end_anchor(s):
+                return True
+            if not is_nullable(s):
+                return False
+        return False
+    if op == Op.ALTERNATE:
+        return all(has_end_anchor(s) for s in node.subs)
+    return False
+
+
+def _lead_bytes_of_range(lo: int, hi: int, out: set) -> None:
+    """Add every possible UTF-8 lead byte of runes in [lo, hi] to `out`.
+    Over-approximation is sound here (the set is used for rejection)."""
+    bounds = [(0x00, 0x7F), (0x80, 0x7FF), (0x800, 0xFFFF),
+              (0x10000, 0x10FFFF)]
+    for blo, bhi in bounds:
+        a, b = max(lo, blo), min(hi, bhi)
+        if a > b:
+            continue
+        la = ("".join(chr(a)).encode("utf-8", "surrogatepass"))[0] \
+            if a < 0xD800 or a > 0xDFFF else 0xED
+        lb = ("".join(chr(b)).encode("utf-8", "surrogatepass"))[0] \
+            if b < 0xD800 or b > 0xDFFF else 0xED
+        for x in range(la, lb + 1):
+            out.add(x)
+
+
+def first_bytes(node: Node, budget: int = 200) -> Optional[set]:
+    """Complete (possibly over-approximate) set of bytes a match can start
+    with, or None when no useful set exists (FirstByteSet analogue,
+    reference nfa/firstbytes.go:8-41).  None for nullable patterns (an
+    empty match has no first byte) and for all-byte sets."""
+    if is_nullable(node):
+        return None
+
+    def walk(n: Node) -> Optional[set]:
+        op = n.op
+        if op == Op.LITERAL:
+            if not n.runes:
+                return set()
+            try:
+                b = chr(n.runes[0]).encode("utf-8")
+            except (ValueError, UnicodeEncodeError):
+                return None
+            return {b[0]}
+        if op == Op.CHAR_CLASS:
+            out: set = set()
+            for lo, hi in n.ranges:
+                _lead_bytes_of_range(lo, hi, out)
+                if len(out) > budget:
+                    return None
+            return out
+        if op in (Op.ANY_CHAR, Op.ANY_NOT_NL):
+            return None  # all/most bytes: not useful
+        if op == Op.CAPTURE:
+            return walk(n.subs[0])
+        if op in (Op.STAR, Op.PLUS, Op.QUEST, Op.REPEAT):
+            return walk(n.subs[0])
+        if op in (Op.BEGIN_TEXT, Op.BEGIN_LINE, Op.END_TEXT, Op.END_LINE,
+                  Op.WORD_BOUNDARY, Op.NO_WORD_BOUNDARY, Op.EMPTY):
+            return set()  # zero-width: contributes nothing
+        if op == Op.CONCAT:
+            acc: set = set()
+            for s in n.subs:
+                fb = walk(s)
+                if fb is None:
+                    return None
+                acc |= fb
+                if len(acc) > budget:
+                    return None
+                if not is_nullable(s):
+                    return acc
+            return acc
+        if op == Op.ALTERNATE:
+            acc = set()
+            for s in n.subs:
+                fb = walk(s)
+                if fb is None:
+                    return None
+                acc |= fb
+                if len(acc) > budget:
+                    return None
+            return acc
+        return None
+
+    out = walk(node)
+    if not out or len(out) >= 256:
+        return None  # IsUseful gate: complete and 0 < count < 256
+    return out
+
+
 @dataclass
 class LineSetSplit:
     """Line shape around an exact literal ALTERNATION — the reference's

@@ -37,6 +37,7 @@ class Strategy(enum.Enum):
     INNER = "inner"
     PREFIX_SET = "prefix_set"
     PREFIX_RUN = "prefix_run"
+    END_ANCHORED = "end_anchored"
     FULL_SCAN = "full_scan"
     HOST = "host"
 
@@ -79,6 +80,13 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
         return Plan(Strategy.HOST, "nullable pattern", nullable=True)
     if litmod.has_start_anchor(ast):
         return Plan(Strategy.HOST, "start-anchored; host anchored scan",
+                    nullable=nullable)
+    if litmod.has_end_anchor(ast):
+        # ReverseAnchoredSearcher analogue (meta/reverse_anchored.go:33):
+        # every match ends at EOT, so one backward anchored-reverse scan
+        # from the end finds the unique leftmost span in O(match length)
+        return Plan(Strategy.END_ANCHORED,
+                    "end-anchored; O(m) reverse scan from EOT",
                     nullable=nullable)
 
     split = litmod.inner_split(ast)
