@@ -58,6 +58,12 @@ class CountDFA:
     classes: np.ndarray      # [256] int32
     pattern: str = ""
     max_chain: int = 1
+    # nullable transducers advance one BYTE after an empty match; Go
+    # advances one RUNE (utf8.DecodeRune width).  The two agree unless an
+    # empty-match advance lands on a byte that starts a valid multi-byte
+    # sequence — callers must gate on the corpus containing no bytes in
+    # [0xC2, 0xF4] (every other byte decodes with width 1).
+    requires_width1: bool = False
 
     @property
     def num_states(self) -> int:
@@ -88,6 +94,204 @@ class CountDFA:
 # `multiplicity` matches when it dies at the front of the chain.
 _Frames = Tuple[Tuple[int, int], ...]
 _Key = Tuple[_Frames, int]
+
+
+def build_count_dfa_nullable(u: DenseDFA,
+                             chain_limit: int = DEFAULT_CHAIN_LIMIT,
+                             state_limit: int = DEFAULT_STATE_LIMIT
+                             ) -> Optional[CountDFA]:
+    """Count transducer for NULLABLE patterns: Go's FindAll loop with its
+    empty-match rules (regex.go allMatches) compiled into one weighted DFA.
+
+    `u` must come from determinize_py(track_empty=True) (unanchored,
+    break-at-match): match_empty classifies each flag as an empty match at
+    the current position (fresh-thread accept) vs non-empty.
+
+    Frames carry a FLAGGED bit (has this search recorded a match
+    candidate?); a frame that dies unflagged commits nothing — it was a
+    speculative search whose leftmost match turned out to be a rejected
+    empty.  Rules on top of build_count_dfa's chain:
+
+      * empty flag at p (match_empty classification): the candidate match
+        is [p,p]; if it stands (frame dies without re-flagging), Go
+        advances pos to p+width, so the restart spawns POST-step as a
+        fresh start state ("START-NEXT", first checked at p+1; width-1
+        gated via requires_width1).
+
+      * non-empty flag at e: the restart searches from e.  Its leftmost
+        match may be the empty match AT e — which Go REJECTS
+        (start == prevMatchEnd, regex.go allMatches) and re-searches
+        from e+1, abandoning even viable lower-priority non-empty
+        matches at e.  Whether the empty stands is only known when the
+        restart's higher-priority threads die, so BOTH contingencies
+        spawn: the pre-step frame delta[start,c] (the threads above the
+        empty accept — non-empty attempts at e; unflagged, commits
+        nothing if it dies) and, when the empty candidate exists
+        (match_u[start,c] — at a start state any accept is the fresh
+        empty), a START-NEXT frame for the rejected case.  A later flag
+        of any earlier frame truncates both (speculation invalidated).
+
+      * EOI: walk frames in order; flagged frames commit; the first
+        frame whose state matches at EOI also commits and ends the walk
+        (the next search would start at n and its empty is rejected).
+    """
+    if u.anchored or not u.break_at_match or u.match_empty is None:
+        raise ValueError("nullable count DFA requires the unanchored "
+                         "break-at-match empty-tracking forward DFA")
+    C = u.num_classes
+    delta_u = u.delta
+    match_u = u.match_on
+    empty_u = u.match_empty
+    eoi_u = u.match_eoi
+    starts_u = u.starts
+
+    rep = [0] * C
+    for b in range(255, -1, -1):
+        rep[int(u.classes[b])] = b
+    ctx_of_cls = [
+        CTX_WORD if WORD_BYTES[rb] else (CTX_NL if rb == 10 else CTX_OTHER)
+        for rb in rep
+    ]
+    needs_ctx = not (int(starts_u[0]) == int(starts_u[1])
+                     == int(starts_u[2]) == int(starts_u[3]))
+
+    # frame = ((u_state, flagged), multiplicity)
+    key_to_id = {}
+    keys: List[tuple] = []
+    dead_key = ((), 0)
+    key_to_id[dead_key] = DEAD
+    keys.append(dead_key)
+
+    def intern(k) -> Optional[int]:
+        i = key_to_id.get(k)
+        if i is None:
+            i = len(keys)
+            if i > state_limit:
+                return None
+            key_to_id[k] = i
+            keys.append(k)
+        return i
+
+    starts = np.zeros(4, dtype=np.int32)
+    for ctx in range(4):
+        k = ((((int(starts_u[ctx]), False), 1),), ctx if needs_ctx else 0)
+        sid = intern(k)
+        if sid is None:
+            return None
+        starts[ctx] = sid
+
+    rows_d: List[np.ndarray] = []
+    rows_e: List[np.ndarray] = []
+    rows_eoi: List[np.ndarray] = []
+    max_chain = 1
+    i = 0
+    while i < len(keys):
+        frames, pctx = keys[i]
+        drow = np.zeros(C, dtype=np.int32)
+        erow = np.zeros(C, dtype=np.int16)
+        eoirow = np.zeros(4, dtype=np.int16)
+        if frames:
+            total_mult = sum(m for _, m in frames)
+            max_chain = max(max_chain, total_mult)
+            start_here = int(starts_u[pctx if needs_ctx else CTX_SOT])
+            for c in range(C):
+                # 1. first flagging frame truncates the chain behind it
+                #    and spawns its restart contingencies
+                out: List[Tuple[Tuple[int, bool], int]] = []
+                flagged = False
+                flag_empty = False
+                for ((s, fl), m) in frames:
+                    if match_u[s, c]:
+                        out.append(((s, True), 1))
+                        flagged = True
+                        flag_empty = bool(empty_u[s, c])
+                        break
+                    out.append(((s, fl), m))
+                post_spawn = False
+                if flagged:
+                    if flag_empty:
+                        # candidate [p,p]: restart searches from p+1
+                        post_spawn = True
+                    else:
+                        # restart searches from e: non-empty attempts at
+                        # e step in pre-step; the rejected-empty
+                        # contingency (if an empty candidate exists at
+                        # e) respawns from e+1
+                        out.append(((start_here, False), 1))
+                        if match_u[start_here, c]:
+                            post_spawn = True
+                # 2. step every frame
+                merged: List[Tuple[Tuple[int, bool], int]] = []
+
+                def put(sf, m):
+                    if merged and merged[-1][0] == sf:
+                        merged[-1] = (sf, merged[-1][1] + m)
+                    else:
+                        merged.append((sf, m))
+
+                for ((s, fl), m) in out:
+                    put((int(delta_u[s, c]), fl), m)
+                if post_spawn:
+                    ns = int(starts_u[ctx_of_cls[c] if needs_ctx
+                                      else CTX_SOT])
+                    put((ns, False), 1)
+                # 3. dead-frame resolution.  Unflagged dead frames drop
+                #    anywhere (pure speculation, commit nothing).
+                #    Flagged dead frames commit only once they reach the
+                #    FRONT — an earlier live frame may still re-flag and
+                #    truncate them (their candidate match would be
+                #    superseded), so mid-chain they stay as pending
+                #    commits.
+                kept = [fm for fm in merged
+                        if not (fm[0][0] == DEAD and not fm[0][1])]
+                merged = []
+                for sf, m in kept:
+                    put(sf, m)
+                commits = 0
+                while merged and merged[0][0] == (DEAD, True):
+                    commits += merged[0][1]
+                    merged.pop(0)
+                if commits > EMIT_LIMIT:
+                    return None
+                if sum(m for _, m in merged) > chain_limit:
+                    return None
+                if not merged:
+                    nk = dead_key
+                else:
+                    nk = (tuple(merged),
+                          ctx_of_cls[c] if needs_ctx else 0)
+                nid = intern(nk)
+                if nid is None:
+                    return None
+                drow[c] = nid
+                erow[c] = commits
+            for ctx in range(4):
+                # flagged frames commit; the first EOI-matching frame
+                # commits and ends the walk (the restart from n would
+                # only find the rejected empty at n)
+                commits = 0
+                for ((s, fl), m) in frames:
+                    if eoi_u[s, ctx]:
+                        commits += 1
+                        break
+                    if fl:
+                        commits += m
+                eoirow[ctx] = commits
+        rows_d.append(drow)
+        rows_e.append(erow)
+        rows_eoi.append(eoirow)
+        i += 1
+
+    return CountDFA(
+        delta=np.stack(rows_d),
+        emit=np.stack(rows_e),
+        eoi_commits=np.stack(rows_eoi),
+        starts=starts,
+        classes=u.classes.astype(np.int32),
+        pattern=u.pattern,
+        max_chain=max_chain,
+        requires_width1=True,
+    )
 
 
 def build_count_dfa(u: DenseDFA,

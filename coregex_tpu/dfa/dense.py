@@ -51,6 +51,12 @@ class DenseDFA:
     # metadata
     pattern: str = ""
     num_nfa_states: int = 0
+    # empty-match classification (nullable count transducer support, only
+    # populated by determinize_py(track_empty=True)): the flag that fires
+    # at (s, c) / (s, eoi_ctx) is an EMPTY match at the current position
+    # (its accepting thread is the fresh start spawned at this position)
+    match_empty: Optional[np.ndarray] = None      # [S, C] bool
+    match_eoi_empty: Optional[np.ndarray] = None  # [S, 4] bool
 
     @property
     def num_states(self) -> int:

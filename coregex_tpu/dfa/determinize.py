@@ -317,6 +317,229 @@ class _Determinizer:
         )
 
 
+class _EmptyTrackingDeterminizer(_Determinizer):
+    """Subset construction that additionally classifies every match flag as
+    EMPTY (the accepting thread is the fresh pattern start spawned at the
+    current position via the unanchored `(?s:.)*?` loop) or non-empty.
+
+    The extension that makes the nullable count transducer possible
+    (dfa/countdfa.py:build_count_dfa_nullable): Go's FindAll empty-match
+    rules key on whether the committed match was empty (regex.go
+    allMatches: `matches[1] == matches[0]` advance/skip), which in DFA
+    terms is a property of which *thread* accepted, not of the state —
+    so thread provenance ("fresh at this position") is tracked in the
+    state identity.  State keys grow a parallel freshness tuple; first
+    -reached-wins dedup keeps the classification aligned with thread
+    priority (an accept reachable both ways counts as the older, non-empty
+    thread — leftmost-first prefers the earlier start)."""
+
+    # state key: (ids, fresh, prev_word, prev_nl, at_start)
+
+    def closure(self, roots, prev_word, prev_nl, at_start,
+                roots_fresh=None):
+        out: List[int] = []
+        out_fresh: List[bool] = []
+        emitted = set()
+        visited = set()
+        L = self.nfa.start_unanchored
+        if roots_fresh is None:
+            roots_fresh = [False] * len(roots)
+        stack = list(reversed([(r, f) for r, f in zip(roots, roots_fresh)]))
+        while stack:
+            sid, fresh = stack.pop()
+            if sid in visited:
+                continue
+            visited.add(sid)
+            st = self.states[sid]
+            k = st[0]
+            if k == Kind.RANGE or k == Kind.MATCH:
+                if sid not in emitted:
+                    emitted.add(sid)
+                    out.append(sid)
+                    out_fresh.append(fresh)
+            elif k == Kind.SPLIT:
+                if sid == L:
+                    # unanchored loop: first branch = pattern start at the
+                    # CURRENT position (fresh), the rest = keep scanning
+                    tgts = st[1:]
+                    frames = [(tgts[0], True)] + [(t, fresh)
+                                                  for t in tgts[1:]]
+                    for t, f in reversed(frames):
+                        stack.append((t, f))
+                else:
+                    for t in reversed(st[1:]):
+                        stack.append((t, fresh))
+            elif k == Kind.CAPTURE:
+                stack.append((st[2], fresh))
+            elif k == Kind.LOOK:
+                look = st[1]
+                if look == Look.BEGIN_TEXT:
+                    if at_start:
+                        stack.append((st[2], fresh))
+                elif look == Look.BEGIN_LINE:
+                    if at_start or prev_nl:
+                        stack.append((st[2], fresh))
+                else:
+                    if sid not in emitted:
+                        emitted.add(sid)
+                        out.append(sid)
+                        out_fresh.append(fresh)
+        return tuple(out), tuple(out_fresh)
+
+    def transition(self, key, c, eoi_ctx=CTX_SOT):
+        """Returns (next_state_id, is_match, match_is_empty)."""
+        ids, fresh, prev_word, prev_nl, at_start = key
+        if c is None:
+            at_eoi = eoi_ctx == CTX_SOT
+            next_word = eoi_ctx == CTX_WORD
+            next_nl = eoi_ctx == CTX_NL
+        else:
+            at_eoi = False
+            next_word = bool(self.cls_word[c])
+            next_nl = bool(self.cls_nl[c])
+        at_edge = c is None
+
+        resolved: List[int] = []
+        resolved_fresh: List[bool] = []
+        emitted: set = set()
+        visited: set = set()
+        is_match = False
+        is_empty = False
+        for sid, fr in zip(ids, fresh):
+            if is_match and self.break_at_match:
+                break
+            st = self.states[sid]
+            k = st[0]
+            if k == Kind.MATCH:
+                if not is_match:
+                    is_match = True
+                    is_empty = fr
+            elif k == Kind.RANGE:
+                if sid not in emitted:
+                    emitted.add(sid)
+                    resolved.append(sid)
+                    resolved_fresh.append(fr)
+            elif k == Kind.LOOK:
+                look = st[1]
+                ok = False
+                if look == Look.END_TEXT:
+                    ok = at_eoi
+                elif look == Look.END_LINE:
+                    ok = at_eoi or next_nl
+                elif look == Look.WORD_BOUNDARY:
+                    ok = prev_word != next_word
+                elif look == Look.NO_WORD_BOUNDARY:
+                    ok = prev_word == next_word
+                if ok:
+                    before = len(resolved)
+                    self.closure_full([st[2]], prev_word, prev_nl, at_start,
+                                      next_word, next_nl, at_eoi,
+                                      resolved, emitted, visited)
+                    kept: List[int] = []
+                    for rid in resolved[before:]:
+                        if is_match and self.break_at_match:
+                            break
+                        if self.states[rid][0] == Kind.MATCH:
+                            if not is_match:
+                                is_match = True
+                                is_empty = fr
+                        else:
+                            kept.append(rid)
+                    del resolved[before:]
+                    resolved.extend(kept)
+                    resolved_fresh.extend([fr] * (len(resolved) - before))
+        if at_edge:
+            return DEAD, is_match, is_empty
+
+        targets: List[int] = []
+        targets_fresh: List[bool] = []
+        b = self._rep(c)
+        for sid, fr in zip(resolved, resolved_fresh):
+            st = self.states[sid]
+            lo, hi = st[1], st[2]
+            if lo <= b <= hi:
+                targets.append(st[3])
+                targets_fresh.append(False)  # consumed a byte: not fresh
+        new_ids, new_fresh = self.closure(targets, next_word, next_nl,
+                                          False, targets_fresh)
+        if not new_ids:
+            return DEAD, is_match, is_empty
+        new_key = (new_ids, new_fresh,
+                   next_word if self.needs_prev else False,
+                   next_nl if self.needs_prev else False,
+                   False)
+        return self._intern(new_key), is_match, is_empty
+
+    def run(self) -> DenseDFA:
+        start_nfa = (self.nfa.start_anchored if self.anchored
+                     else self.nfa.start_unanchored)
+        # re-seed interning with the 5-tuple dead key
+        self.key_to_id = {}
+        self.sets = []
+        dead_key = ((), (), False, False, False)
+        self.key_to_id[dead_key] = DEAD
+        self.sets.append(dead_key)
+
+        ctxs = [
+            (False, False, True),
+            (True, False, False),
+            (False, True, False),
+            (False, False, False),
+        ]
+        starts = np.zeros(4, dtype=np.int32)
+        for i, (pw, pn, at_start) in enumerate(ctxs):
+            # the whole start closure is a fresh search at this position
+            ids, fr = self.closure([start_nfa], pw, pn, at_start,
+                                   roots_fresh=[True])
+            if not ids:
+                starts[i] = DEAD
+                continue
+            key = (ids, fr, pw if self.needs_prev else False,
+                   pn if self.needs_prev else False, at_start)
+            starts[i] = self._intern(key)
+
+        C = self.bc.num_classes
+        delta_rows, match_rows, eoi_rows = [], [], []
+        empty_rows, eoi_empty_rows = [], []
+        i = 0
+        while i < len(self.sets):
+            key = self.sets[i]
+            drow = np.zeros(C, dtype=np.int32)
+            mrow = np.zeros(C, dtype=bool)
+            xrow = np.zeros(C, dtype=bool)
+            erow = np.zeros(4, dtype=bool)
+            exrow = np.zeros(4, dtype=bool)
+            if key[0]:
+                for c in range(C):
+                    nxt, m, x = self.transition(key, c)
+                    drow[c] = nxt
+                    mrow[c] = m
+                    xrow[c] = x
+                for ctx in range(4):
+                    _, erow[ctx], exrow[ctx] = self.transition(
+                        key, None, eoi_ctx=ctx)
+            delta_rows.append(drow)
+            match_rows.append(mrow)
+            eoi_rows.append(erow)
+            empty_rows.append(xrow)
+            eoi_empty_rows.append(exrow)
+            i += 1
+
+        return DenseDFA(
+            delta=np.stack(delta_rows),
+            match_on=np.stack(match_rows),
+            match_eoi=np.stack(eoi_rows),
+            starts=starts,
+            classes=self.bc.classes.astype(np.int32),
+            anchored=self.anchored,
+            break_at_match=self.break_at_match,
+            pattern=self.nfa.pattern,
+            num_nfa_states=len(self.nfa),
+            match_empty=np.stack(empty_rows),
+            match_eoi_empty=np.stack(eoi_empty_rows),
+        )
+
+
 def determinize(nfa: NFA, anchored: bool = False,
                 break_at_match: bool = True,
                 state_limit: int = DEFAULT_STATE_LIMIT,
@@ -337,10 +560,13 @@ def determinize_py(nfa: NFA, anchored: bool = False,
                    break_at_match: bool = True,
                    state_limit: int = DEFAULT_STATE_LIMIT,
                    byte_classes: Optional[ByteClasses] = None,
-                   reverse: bool = False) -> DenseDFA:
-    """Pure-Python determinizer (the native module's oracle)."""
-    d = _Determinizer(nfa, anchored, break_at_match, state_limit,
-                      byte_classes)
+                   reverse: bool = False,
+                   track_empty: bool = False) -> DenseDFA:
+    """Pure-Python determinizer (the native module's oracle).  With
+    track_empty=True the result also carries match_empty /
+    match_eoi_empty flag classification (nullable count transducer)."""
+    cls = _EmptyTrackingDeterminizer if track_empty else _Determinizer
+    d = cls(nfa, anchored, break_at_match, state_limit, byte_classes)
     dfa = d.run()
     dfa.reverse = reverse
     return dfa

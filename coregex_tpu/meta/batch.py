@@ -15,6 +15,7 @@ import numpy as np
 
 from ..dfa.determinize import DFAOverflow, determinize
 from ..nfa.thompson import compile_nfa
+from ..utils.corpus_cache import corpus_is_ascii
 from ..utils.utf8 import go_rune_width
 from ..syntax.ast import Node, Op
 from ..syntax.parser import Parsed
@@ -166,6 +167,7 @@ class BatchEngine:
         self._host_dense: Dict[str, object] = {}
         self._sieve = None
         self._count_sc = None  # lazy CountScanner; False == unavailable
+        self._count_sc_ascii = None  # lazy ASCII-projected CountScanner
         self._sharded_sc = None  # lazy ShardedGoCount; False == unavailable
         self._seq_sc = None  # lazy SeqScanner; False == unavailable
         self._line_sc = None  # lazy LineScanner; False == unavailable
@@ -305,32 +307,72 @@ class BatchEngine:
     # the predicate kernels; such patterns keep the legacy pipelines
     COUNT_TREE_LIMIT = 768
 
+    def _make_count_scanner(self, ascii_only: bool):
+        """Build a CountScanner over the FindAll-count transducer, or
+        False when out of scope.  ascii_only builds the ASCII-projected
+        tables (the reference's dot-optimized ASCII NFA,
+        meta/compile.go:386-430): exact whenever the corpus has no byte
+        >= 0x80, and typically 3-6 byte classes instead of the 15-25 the
+        UTF-8 rune automaton needs — the difference between a tiny
+        Mosaic select tree and the slow onehot-MXU fallback."""
+        from ..dfa.countdfa import (build_count_dfa,
+                                    build_count_dfa_nullable)
+        from ..ops.count_scan import CountScanner
+        try:
+            nfa = compile_nfa(self.parsed, with_captures=False,
+                              ascii_only=ascii_only)
+            if self.plan.nullable:
+                from ..dfa.determinize import determinize_py
+                u = determinize_py(nfa, anchored=False,
+                                   break_at_match=True, track_empty=True)
+                cd = build_count_dfa_nullable(u)
+            else:
+                u = determinize(nfa, anchored=False, break_at_match=True)
+                cd = build_count_dfa(u)
+        except DFAOverflow:
+            return False
+        if cd is None:
+            return False
+        sc = CountScanner(cd)
+        if sc.impl == "pallas" and \
+                sc.dcd.S * sc.dcd.NSEG > self.COUNT_TREE_LIMIT:
+            # Mosaic select tree too large: switch to the gather-free
+            # onehot MXU path (same exactness)
+            sc = CountScanner(cd, impl="onehot")
+        return sc
+
+    def _count_scanner_ascii(self):
+        """Lazy ASCII-projected CountScanner; only valid for corpora
+        where every byte < 0x80."""
+        if self._count_sc_ascii is None:
+            self._count_sc_ascii = False
+            if not self.longest:
+                self._count_sc_ascii = self._make_count_scanner(
+                    ascii_only=True)
+        return self._count_sc_ascii
+
     def _count_scanner(self):
         """Lazy CountScanner over the FindAll-count transducer
-        (dfa/countdfa.py); False when the pattern is out of scope
-        (nullable, POSIX-longest, chain/state overflow, or a select tree
-        too large for the Mosaic kernel)."""
+        (dfa/countdfa.py; the nullable variant with Go empty-match rules
+        for nullable patterns); False when the pattern is out of scope
+        (POSIX-longest, chain/state overflow, or a select tree too large
+        for the Mosaic kernel)."""
         if self._count_sc is None:
             self._count_sc = False
-            if not self.longest and not self.plan.nullable:
-                from ..dfa.countdfa import build_count_dfa
-                from ..ops.count_scan import CountScanner
-                try:
-                    nfa = compile_nfa(self.parsed, with_captures=False)
-                    u = determinize(nfa, anchored=False,
-                                    break_at_match=True)
-                except DFAOverflow:
-                    return self._count_sc
-                cd = build_count_dfa(u)
-                if cd is not None:
-                    sc = CountScanner(cd)
-                    if sc.impl == "pallas" and \
-                            sc.dcd.S * sc.dcd.NSEG > self.COUNT_TREE_LIMIT:
-                        # Mosaic select tree too large: switch to the
-                        # gather-free onehot MXU path (same exactness)
-                        sc = CountScanner(cd, impl="onehot")
-                    self._count_sc = sc
+            if not self.longest:
+                self._count_sc = self._make_count_scanner(ascii_only=False)
         return self._count_sc
+
+    def _count_scanner_for(self, data: np.ndarray):
+        """Best applicable count scanner for this corpus: the ASCII
+        -projected tables when the corpus is ASCII (simd.IsASCII runtime
+        switch, meta/ismatch.go:217 analogue), else the full rune
+        tables."""
+        if corpus_is_ascii(data):
+            sc = self._count_scanner_ascii()
+            if sc:
+                return sc
+        return self._count_scanner()
 
     def _seq_scanner(self):
         """Lazy predicate sequential scanner (ops/seq_scan.py) for the
@@ -462,6 +504,36 @@ class BatchEngine:
                     self._sharded_sc = ShardedGoCount(sc.cd, default_mesh())
         return self._sharded_sc
 
+    def nullable_count(self, data: np.ndarray) -> Optional[int]:
+        """Device count for NULLABLE patterns via the empty-match-aware
+        count transducer (dfa/countdfa.py:build_count_dfa_nullable), or
+        None when out of scope.  Gate: the transducer advances one BYTE
+        after an empty match where Go advances one RUNE — exact unless
+        the corpus contains a valid multi-byte UTF-8 lead (0xC2-0xF4)."""
+        if len(data) == 0:
+            return None
+        sc = self._count_scanner_for(data)
+        if not sc or not getattr(sc.cd, "requires_width1", False):
+            return None
+        if not corpus_is_ascii(data):
+            mx = int(data.max())
+            if mx >= 0xC2 and bool(((data >= 0xC2) & (data <= 0xF4)).any()):
+                return None
+        from ..utils.corpus_cache import device_corpus
+        shc = self._sharded_counter()
+        if shc:
+            try:
+                return shc.count(data)
+            except Exception as ex:  # pragma: no cover - device specific
+                from .config import debug
+                debug(1, f"sharded nullable count failed "
+                         f"({type(ex).__name__}); retired: {ex}")
+                self._sharded_sc = False
+        dev = device_corpus(data)
+        slot = "_count_sc_ascii" if sc is self._count_sc_ascii \
+            else "_count_sc"
+        return self._try_scanner(sc, dev, slot)
+
     def count(self, data: np.ndarray) -> int:
         """Match count with device-side fast paths (Count,
         meta/findall.go:297 analogue): most strategies reduce to a single
@@ -531,13 +603,15 @@ class BatchEngine:
             cnt = self._candidate_count(dev)
             if cnt == 0:
                 return 0
-            if cnt <= max(n >> 12, 1024) or not self._count_scanner():
+            if cnt <= max(n >> 12, 1024) or not self._count_scanner_for(data):
                 if cnt <= max(n // 64, 1024):
                     return len(self.find_all_spans(data))
         # universal single-launch path: the count transducer scan
-        sc = self._count_scanner()
+        sc = self._count_scanner_for(data)
         if sc:
-            c = self._try_scanner(sc, dev, "_count_sc")
+            slot = "_count_sc_ascii" if sc is self._count_sc_ascii \
+                else "_count_sc"
+            c = self._try_scanner(sc, dev, slot)
             if c is not None:
                 return c
         if strat == Strategy.PREFIX_RUN:

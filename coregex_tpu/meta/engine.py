@@ -282,6 +282,16 @@ class Engine:
         if self._use_batch(arr):
             self.stats.kernel_scans += 1
             return self.batch_engine().count(arr)
+        if len(arr) >= self.batch_threshold:
+            # nullable patterns route HOST for spans, but Count has an
+            # exact device transducer (Go empty-match rules compiled in,
+            # dfa/countdfa.py:build_count_dfa_nullable)
+            be = self.batch_engine()
+            if be.plan.nullable and not self.longest:
+                c = be.nullable_count(arr)
+                if c is not None:
+                    self.stats.kernel_scans += 1
+                    return c
         return len(self._all_spans(arr))
 
     def finditer(self, data: Bytes) -> Iterator[Tuple[int, int]]:

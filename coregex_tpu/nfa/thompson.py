@@ -40,9 +40,19 @@ class Frag:
 
 
 class Compiler:
-    def __init__(self, reverse: bool = False, with_captures: bool = True):
+    def __init__(self, reverse: bool = False, with_captures: bool = True,
+                 ascii_only: bool = False):
+        """ascii_only: project every class/literal to its ASCII subset —
+        the reference's dot-optimized ASCII NFA (meta/compile.go:386-430
+        buildDotOptimizedNFAs), valid for corpora where simd.IsASCII
+        holds: bytes >= 0x80 never occur, so rune branches above ASCII
+        are unreachable and `.` collapses to a single byte range.  Byte
+        classes shrink from ~15-25 (UTF-8 boundaries) to ~3-6, which is
+        what makes the dense count/scan tables small enough for the
+        Mosaic select-tree kernels."""
         self.reverse = reverse
         self.with_captures = with_captures and not reverse
+        self.ascii_only = ascii_only
         self.nfa = NFA()
         self._suffix_cache = {}
 
@@ -82,7 +92,8 @@ class Compiler:
         # byte loop keeps byte classes compact (<= 4 for ASCII patterns)
         # for the dense kernels.
         loop = nfa.add_split([anchored, -1])
-        if self._needs_rune_prefix(parsed.ast):
+        # ASCII projection: rune == byte, so byte stepping is exact
+        if not self.ascii_only and self._needs_rune_prefix(parsed.ast):
             any_rune = self._compile_class(((0, 0x10FFFF),))
             for h in any_rune.outs:
                 nfa.patch(*h, loop)
@@ -174,6 +185,9 @@ class Compiler:
         if not runes:
             sid = self.nfa.add_split([-1])
             return Frag(sid, [(sid, 1)])
+        if self.ascii_only and any(cp >= 0x80 for cp in runes):
+            sid = self.nfa.add_fail()  # unreachable in an ASCII corpus
+            return Frag(sid, [])
         seq = runes[::-1] if self.reverse else runes
         start = -1
         prev_holes: List[Hole] = []
@@ -191,6 +205,12 @@ class Compiler:
         return Frag(start, prev_holes)
 
     def _compile_class(self, ranges) -> Frag:
+        if self.ascii_only:
+            ranges = tuple((lo, min(hi, 0x7F)) for lo, hi in ranges
+                           if lo < 0x80)
+            if not ranges:
+                sid = self.nfa.add_fail()
+                return Frag(sid, [])
         # Pure-ASCII classes become a flat split of byte ranges.
         if ranges and ranges[-1][1] < 0x80:
             targets = []
@@ -385,6 +405,7 @@ class Compiler:
 
 
 def compile_nfa(parsed: Parsed, reverse: bool = False,
-                with_captures: bool = True) -> NFA:
-    return Compiler(reverse=reverse, with_captures=with_captures
-                    ).compile(parsed)
+                with_captures: bool = True,
+                ascii_only: bool = False) -> NFA:
+    return Compiler(reverse=reverse, with_captures=with_captures,
+                    ascii_only=ascii_only).compile(parsed)

@@ -61,5 +61,25 @@ def device_corpus_flipped(arr: np.ndarray):
     return ent[1]
 
 
+_ascii_cache: "OrderedDict[tuple, bool]" = OrderedDict()
+
+
+def corpus_is_ascii(arr: np.ndarray) -> bool:
+    """Every byte < 0x80 (simd.IsASCII analogue, simd/ascii_amd64.go:12),
+    cached per corpus fingerprint — the runtime switch that selects the
+    ASCII-projected engine tables (meta/ismatch.go:217 analogue)."""
+    if len(arr) == 0:
+        return True
+    key = _fingerprint(arr)
+    v = _ascii_cache.get(key)
+    if v is None:
+        v = bool(int(arr.max()) < 0x80)
+        _ascii_cache[key] = v
+        while len(_ascii_cache) > 16:
+            _ascii_cache.popitem(last=False)
+    return v
+
+
 def clear():
     _cache.clear()
+    _ascii_cache.clear()
