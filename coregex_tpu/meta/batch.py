@@ -172,6 +172,9 @@ class BatchEngine:
         self._seq_sc = None  # lazy SeqScanner; False == unavailable
         self._line_sc = None  # lazy LineScanner; False == unavailable
         self._hits_sc = None  # lazy HitsScanner; False == unavailable
+        self._pf_hits = 0  # runtime prefilter tracker (tracker.go:37)
+        self._pf_seen = 0
+        self._pf_retired = False
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -721,7 +724,13 @@ class BatchEngine:
         from ..ops.bytescan import _memmem_mask, _multi_literal_scan, \
             mask_count
         if self.plan.strategy == Strategy.INNER:
-            mask = _memmem_mask(dev, tuple(self.plan.split.lit))
+            sp = self.plan.split
+            if len(sp.lits) == 1:
+                mask = _memmem_mask(dev, tuple(sp.lit))
+            else:
+                best, _ = _multi_literal_scan(
+                    dev, tuple(tuple(l) for l in sp.lits))
+                mask = best >= 0
         else:
             lits = tuple(tuple(l) for l in self.plan.prefix_lits)
             best, _ = _multi_literal_scan(dev, lits)
@@ -1030,16 +1039,24 @@ class BatchEngine:
         return out
 
     def _inner_spans(self, dev, data, n, limit) -> np.ndarray:
-        from ..ops.bytescan import memmem
+        from ..ops.bytescan import memmem, multi_literal_hits
         from ..ops.dfa_scan import WindowScanner
+        if self._pf_retired:
+            return self._full_scan_spans(dev, data, n, limit)
         sp = self.plan.split
-        k = len(sp.lit)
-        cand = memmem(dev, sp.lit)
+        if len(sp.lits) == 1:
+            k = len(sp.lit)
+            cand = memmem(dev, sp.lit)
+            cand_end = cand + k
+        else:
+            pos, _, plen = multi_literal_hits(dev, sp.lits)
+            cand = pos
+            cand_end = np.unique(pos + plen)
         if len(cand) == 0:
             return np.empty((0, 2), dtype=np.int64)
         if len(cand) > MAX_CANDIDATES:
             return self._full_scan_spans(dev, data, n, limit)
-        starts = self._rev_start_flags(dev, data, n, cand + k)
+        starts = self._rev_start_flags(dev, data, n, cand_end)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
         ws = WindowScanner(self._dense(self._verify_kind()))
@@ -1048,14 +1065,29 @@ class BatchEngine:
         self._note_prefilter(keep)
         return go_select(starts[keep], ends[keep], n, data, limit)
 
+    # runtime prefilter effectiveness tracking (prefilter/tracker.go:37
+    # analogue): once enough candidates have been verified, a confirm
+    # ratio below the threshold permanently retires the candidate
+    # pipeline for this pattern (falls back to the full-scan spans path)
+    PF_MIN_SAMPLES = 4096
+    PF_MIN_RATIO = 1 / 64
+
     def _note_prefilter(self, keep: np.ndarray) -> None:
         """Prefilter effectiveness counters (meta.Stats
         PrefilterHits/Misses analogue): hits = candidates whose anchored
         verification produced a match end, misses = the rest."""
+        h = int(keep.sum())
+        self._pf_hits += h
+        self._pf_seen += len(keep)
         if self.stats is not None:
-            h = int(keep.sum())
             self.stats.prefilter_hits += h
             self.stats.prefilter_misses += len(keep) - h
+        if (self._pf_seen >= self.PF_MIN_SAMPLES
+                and self._pf_hits < self._pf_seen * self.PF_MIN_RATIO):
+            from .config import debug
+            debug(1, f"prefilter retired: {self._pf_hits}/{self._pf_seen} "
+                     "confirm ratio below threshold")
+            self._pf_retired = True
 
     def _prefix_set_spans(self, dev, data, n, limit) -> np.ndarray:
         """PREFIX_SET: candidate match starts = positions where any
@@ -1065,6 +1097,8 @@ class BatchEngine:
         memmem/Teddy prefilter (prefilter/prefilter.go:249-297)."""
         from ..ops.bytescan import multi_literal_hits
         from ..ops.dfa_scan import WindowScanner
+        if self._pf_retired:
+            return self._full_scan_spans(dev, data, n, limit)
         pos, _, _ = multi_literal_hits(dev, self.plan.prefix_lits)
         if len(pos) == 0:
             return np.empty((0, 2), dtype=np.int64)

@@ -169,15 +169,27 @@ def _universality(node: Node) -> int:
 
 @dataclass
 class InnerSplit:
-    """concat(A, lit, B) decomposition for candidate verification."""
+    """concat(A, lits, B) decomposition for candidate verification.
+
+    `lits` is the full inner literal SET (1..8 needles — extraction
+    through alternations and adjacent-child cross products, the
+    ExtractInner-through-alternation capability of the reference's
+    literal/extractor.go:1027-1165); `lit` is its first member and the
+    only one consulted by the single-needle line-shape paths (which
+    require len(lits) == 1)."""
     lit: bytes
-    prefix_ast: Node           # A · lit  (reverse-DFA verification target)
+    prefix_ast: Node           # A · lits  (reverse-DFA verification target)
     suffix_ast: Node           # B
     prefix_universal: int      # UNIV_* of A (when A is a single univ star)
     suffix_universal: int      # UNIV_* of B
     line_anchored: bool        # A begins with (?m)^
     prefix_literal: bytes      # literal bytes that must begin the line
     # (only meaningful when line_anchored and A == ^ P .*)
+    lits: Optional[List[bytes]] = None
+
+    def __post_init__(self):
+        if self.lits is None:
+            self.lits = [self.lit]
 
 
 # Bytes common in natural text / logs: candidate scans keyed on one of
@@ -213,7 +225,9 @@ def inner_split(root: Node) -> Optional[InnerSplit]:
     children = list(node.subs)
 
     best_i = -1
+    best_j = -1  # run end (exclusive); single children have j == i + 1
     best_lit: Optional[bytes] = None
+    best_set: Optional[List[bytes]] = None
     rare_i = -1
     rare_lit: Optional[bytes] = None
     for i, ch in enumerate(children):
@@ -223,17 +237,49 @@ def inner_split(root: Node) -> Optional[InnerSplit]:
         l = lits[0]
         if len(l) >= 2:
             if best_lit is None or len(l) > len(best_lit):
-                best_i, best_lit = i, l
+                best_i, best_j, best_lit = i, i + 1, l
         elif len(l) == 1 and is_rare_byte(l[0]) and rare_lit is None:
             rare_i, rare_lit = i, l
+    # literal SET through alternations / adjacent-child cross products
+    # (the reference's inner extraction through alternations,
+    # literal/extractor.go:1027-1165): find the run of children whose
+    # cross product is 2..8 literals of min length >= 2, maximizing the
+    # shortest needle (rarer candidates).  The set wins over a single
+    # exact literal only when its shortest needle is strictly longer.
+    MAX_SET, MAX_SET_LEN = 8, 32
+    set_i = set_j = -1
+    set_lits: Optional[List[bytes]] = None
+    for i in range(len(children)):
+        prod = [b""]
+        j = i
+        while j < len(children):
+            ls = exact_literals(children[j])
+            if ls is None:
+                break
+            nxt = [a + b for a in prod for b in ls]
+            if len(nxt) > MAX_SET or \
+                    any(len(x) > MAX_SET_LEN for x in nxt):
+                break
+            prod = nxt
+            j += 1
+            score = min((len(x) for x in prod), default=0)
+            if j > i and 2 <= len(prod) <= MAX_SET and score >= 2:
+                if set_lits is None or score > min(
+                        len(x) for x in set_lits):
+                    set_i, set_j, set_lits = i, j, list(prod)
+    if set_lits is not None and (
+            best_lit is None
+            or min(len(x) for x in set_lits) > len(best_lit) + 1):
+        best_i, best_j, best_set = set_i, set_j, set_lits
+        best_lit = best_set[0]
     if best_lit is None and rare_lit is not None:
-        best_i, best_lit = rare_i, rare_lit
+        best_i, best_j, best_lit = rare_i, rare_i + 1, rare_lit
     if best_lit is None:
         return None
 
     A = children[:best_i]
-    B = children[best_i + 1:]
-    prefix_ast = concat(children[:best_i + 1])
+    B = children[best_j:]
+    prefix_ast = concat(children[:best_j])
     suffix_ast = concat(B)
 
     prefix_universal = UNIV_NONE
@@ -268,6 +314,7 @@ def inner_split(root: Node) -> Optional[InnerSplit]:
         suffix_universal=suffix_universal,
         line_anchored=line_anchored,
         prefix_literal=prefix_literal,
+        lits=best_set if best_set is not None else [best_lit],
     )
 
 

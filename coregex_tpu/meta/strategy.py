@@ -90,7 +90,19 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
                     nullable=nullable)
 
     split = litmod.inner_split(ast)
-    if split is not None:
+    set_at_start = False
+    if split is not None and len(split.lits) > 1:
+        # literal-set inner split (through alternations): multi-needle
+        # candidate scan + bidirectional verification — unless the set
+        # BEGINS the match, where the forward-only PREFIX_SET pipeline
+        # skips the reverse pass entirely
+        set_at_start = litmod.exact_literals(split.prefix_ast) is not None
+        if not set_at_start:
+            return Plan(Strategy.INNER,
+                        f"inner literal set ({len(split.lits)} needles) "
+                        "with DFA verification",
+                        split=split, nullable=nullable)
+    if split is not None and not set_at_start:
         up, us = split.prefix_universal, split.suffix_universal
         b_empty = split.suffix_ast.op == Op.EMPTY
         if split.line_anchored and (b_empty or us != UNIV_NONE):

@@ -176,6 +176,95 @@ def oracle_groups(rx: Oracle, data: bytes, pos: int = 0):
     return out
 
 
+def go_expand(template: bytes, groups: List[Optional[bytes]],
+              names: List[str]) -> bytes:
+    """Independent implementation of Go's $-template rules
+    (regexp.go:951 Expand): $1 / ${name} / $$; missing groups expand
+    empty; malformed ${ is literal."""
+    out = bytearray()
+    i, n = 0, len(template)
+    while i < n:
+        b = template[i]
+        if b != 0x24:  # '$'
+            out.append(b)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            out.append(0x24)
+            break
+        if template[i] == 0x24:
+            out.append(0x24)
+            i += 1
+            continue
+        braced = template[i] == 0x7B  # '{'
+        if braced:
+            i += 1
+        j = i
+        while j < n and (chr(template[j]).isalnum() or template[j] == 0x5F):
+            j += 1
+        name = template[i:j].decode("ascii", "replace")
+        if braced:
+            if j < n and template[j] == 0x7D:
+                j += 1
+            else:
+                out += b"${"
+                continue
+        if not name:
+            out.append(0x24)
+            if braced:
+                out.append(0x7B)
+            continue
+        idx = None
+        if name.isdigit():
+            idx = int(name)
+        else:
+            for gi, gn in enumerate(names):
+                if gn == name:
+                    idx = gi
+                    break
+        if idx is not None and idx < len(groups) and groups[idx] is not None:
+            out += groups[idx]
+        i = j
+    return bytes(out)
+
+
+def go_replace_all(rx: Oracle, data: bytes, template: bytes,
+                   names: List[str]) -> bytes:
+    """Go ReplaceAll oracle: allMatches spans + per-span group bytes +
+    independent $-template expansion."""
+    s, offs = _prep(data)
+    out = bytearray()
+    last = 0
+    pos = 0
+    prev_end = -1
+    n = len(s)
+    while pos <= n:
+        m = rx.rx.search(s, pos)
+        if not m:
+            break
+        a, b = m.span()
+        accept = True
+        if b == pos:
+            if a == prev_end:
+                accept = False
+            pos += 1
+        else:
+            pos = b
+        prev_end = b
+        if accept:
+            groups = []
+            for i in range(rx.groups + 1):
+                g = m.group(i)
+                groups.append(None if g is None
+                              else g.encode("utf-8", "surrogateescape"))
+            out += data[last:offs[a]]
+            out += go_expand(template, groups, names)
+            last = offs[b]
+    out += data[last:]
+    return bytes(out)
+
+
 def oracle_group_bytes(rx: Oracle, data: bytes, start: int, end: int
                        ) -> Optional[List[Optional[bytes]]]:
     """Group texts of the match anchored at byte `start` within

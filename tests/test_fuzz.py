@@ -8,7 +8,8 @@ import pytest
 
 from coregex_tpu.meta.engine import Engine
 
-from helpers import compile_oracle, go_all_matches, oracle_search
+from helpers import (compile_oracle, go_all_matches, go_replace_all,
+                     go_split, oracle_groups, oracle_search)
 
 ATOMS = ["a", "b", "c", "x", "1", "2", r"\d", r"\w", r"\s", ".",
          "[ab]", "[a-c]", "[^a]", "[0-9a-f]"]
@@ -44,7 +45,7 @@ def gen_text(rng: random.Random) -> bytes:
     return bytes(rng.choice(alphabet) for _ in range(n))
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(24))
 def test_fuzz_differential(seed):
     rng = random.Random(seed * 7919 + 13)
     for it in range(25):
@@ -54,7 +55,7 @@ def test_fuzz_differential(seed):
             rx = compile_oracle(pat)
         except Exception:
             continue  # oracle-incompatible pattern; skip
-        for _ in range(6):
+        for _ in range(8):
             text = gen_text(rng)
             if r"\B" in pat and text == b"":
                 # Go: \B matches the empty string (both sides non-word);
@@ -70,3 +71,39 @@ def test_fuzz_differential(seed):
             assert got_all == exp_all, (
                 f"seed={seed} it={it} findall p={pat!r} t={text!r}: "
                 f"{got_all} vs {exp_all}")
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_submatch_replace_split(seed):
+    """FuzzFindSubmatchStdlib / FuzzReplaceStdlib / FuzzSplitStdlib
+    analogues (fuzz_stdlib_test.go): differential over the capture,
+    replace, and split APIs."""
+    rng = random.Random(seed * 104729 + 7)
+    for it in range(20):
+        pat = gen_pattern(rng)
+        try:
+            eng = Engine.compile(pat)
+            rx = compile_oracle(pat)
+        except Exception:
+            continue
+        names = eng.subexp_names()
+        tmpl = b"<$1|$2>" if eng.num_subexp >= 2 else b"[$0]"
+        for _ in range(6):
+            text = gen_text(rng)
+            if r"\B" in pat and text == b"":
+                continue
+            exp_g = oracle_groups(rx, text)
+            got_g = eng.find_submatch_index(text)
+            assert got_g == exp_g, (
+                f"seed={seed} it={it} submatch p={pat!r} t={text!r}: "
+                f"{got_g} vs {exp_g}")
+            exp_r = go_replace_all(rx, text, tmpl, names)
+            got_r = eng.replace_all(text, tmpl)
+            assert got_r == exp_r, (
+                f"seed={seed} it={it} replace p={pat!r} t={text!r}: "
+                f"{got_r} vs {exp_r}")
+            exp_s = go_split(rx, text)
+            got_s = eng.split(text)
+            assert got_s == exp_s, (
+                f"seed={seed} it={it} split p={pat!r} t={text!r}: "
+                f"{got_s} vs {exp_s}")
