@@ -42,6 +42,18 @@ def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
     # bulk fast path: no empties, no overlaps
     if limit < 0 and np.all(ends[:-1] <= starts[1:]) and np.all(ends > starts):
         return np.stack([starts, ends], axis=1).astype(np.int64)
+    if np.all(ends > starts):
+        # overlapping but empty-free: the restart loop is a chain walk
+        # over a precomputed jump table (one vectorized searchsorted),
+        # ~10x the per-step bisect of the general loop
+        nxt = np.searchsorted(starts, ends, side="left").tolist()
+        sel: List[int] = []
+        i = 0
+        while i < m and (limit < 0 or len(sel) < limit):
+            sel.append(i)
+            i = nxt[i]
+        idx = np.asarray(sel, dtype=np.int64)
+        return np.stack([starts[idx], ends[idx]], axis=1).astype(np.int64)
     out: List[Tuple[int, int]] = []
     pos = 0
     prev_end = -1
@@ -1112,6 +1124,50 @@ class BatchEngine:
         return go_select(starts[keep], ends[keep], n, data, limit)
 
     # .. full scan ........................................................
+    def _sharded_starts(self, data, n) -> Optional[np.ndarray]:
+        """Multi-device match-start discovery: the anchored-reverse
+        all-ends scan over the FLIPPED corpus, sharded over the mesh with
+        per-shard compaction (parallel/shard.py:make_sharded_ends) — the
+        sharded spans front half; verification windows then run on the
+        merged candidate set.  None when out of scope (single device,
+        tiny input, or per-shard buffer overflow)."""
+        import jax
+        if len(jax.devices()) <= 1 or n < 1 << 16:
+            return None
+        from ..dfa.search import anchored_last_end
+        from ..parallel.shard import default_mesh, make_sharded_ends
+        if getattr(self, "_sharded_ends_fn", None) is False:
+            return None  # previously failed: retired
+        rev = self._dense("rev_all")
+        if getattr(self, "_sharded_ends_fn", None) is None:
+            self._sharded_ends_fn = make_sharded_ends(
+                default_mesh(), rev, cap=max(4096, n // 256))
+        ndev = len(jax.devices())
+        flipped = np.ascontiguousarray(data[::-1])
+        pad = (-n) % ndev
+        if pad:
+            flipped = np.concatenate(
+                [flipped, np.zeros(pad, dtype=np.uint8)])
+        try:
+            pos, cnts = jax.device_get(self._sharded_ends_fn(flipped))
+        except Exception as ex:  # pragma: no cover - device specific
+            from .config import debug
+            debug(1, f"sharded starts failed ({type(ex).__name__}): {ex}")
+            self._sharded_ends_fn = False
+            return None
+        cap = len(pos) // ndev
+        if (cnts > cap).any():
+            return None  # buffer overflow: single-device path
+        jpos = np.sort(pos[pos < n].astype(np.int64))
+        starts = n - jpos
+        # match start at offset 0 == reverse flag at flipped EOI: resolve
+        # on host with one anchored forward probe (O(match length))
+        self._dense(self._verify_kind())
+        fwd_anch = self._host_dense[self._verify_kind()]
+        if anchored_last_end(fwd_anch, data, 0) >= 0:
+            starts = np.append(starts, 0)
+        return np.sort(starts.astype(np.int64))
+
     def _all_starts(self, dev, data, n) -> np.ndarray:
         """All match-start offsets via the reverse all-ends chunk scan,
         device-reduced to compact positions."""
@@ -1119,6 +1175,9 @@ class BatchEngine:
         from ..dfa.dense import CTX_SOT
         from ..ops.dfa_scan import ChunkScanner, flag_positions
         from ..utils.corpus_cache import device_corpus_flipped
+        st = self._sharded_starts(data, n)
+        if st is not None:
+            return st
         rev = self._dense("rev_all")
         fdev = device_corpus_flipped(data)
         sc = ChunkScanner(rev)

@@ -49,16 +49,27 @@ def _rune_width(data: np.ndarray, pos: int) -> int:
 
 @dataclass
 class Stats:
-    """Search counters (meta/engine.go:158-183 Stats analogue)."""
+    """Search counters (meta/engine.go:158-183 Stats analogue), plus
+    device-path timing the reference never needed (its engines are
+    synchronous CPU; here a scan is a kernel launch whose wall time is
+    the observable)."""
     dfa_searches: int = 0
     nfa_searches: int = 0
     prefilter_hits: int = 0
     prefilter_misses: int = 0
     kernel_scans: int = 0
+    kernel_seconds: float = 0.0   # cumulative wall time inside device paths
+    kernel_bytes: int = 0         # corpus bytes pushed through kernels
+
+    @property
+    def kernel_gbps(self) -> float:
+        """Observed aggregate device-scan throughput."""
+        return (self.kernel_bytes / self.kernel_seconds / 1e9
+                if self.kernel_seconds > 0 else 0.0)
 
     def reset(self) -> None:
         for f in self.__dataclass_fields__:
-            setattr(self, f, 0)
+            setattr(self, f, 0 if f != "kernel_seconds" else 0.0)
 
 
 class Engine:
@@ -152,6 +163,23 @@ class Engine:
         from .strategy import Strategy
         return self.batch_engine().plan.strategy != Strategy.HOST
 
+    def _timed_scan(self, arr: np.ndarray):
+        """Context manager accounting a device scan in Stats (count,
+        wall seconds, corpus bytes — Engine.Stats() observability)."""
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def cm():
+            self.stats.kernel_scans += 1
+            self.stats.kernel_bytes += len(arr)
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.stats.kernel_seconds += time.perf_counter() - t0
+        return cm()
+
     # -- core single-search primitives ----------------------------------
     def _backtracker(self):
         if self._bt is None:
@@ -192,8 +220,8 @@ class Engine:
         """Regexp.Match / MatchString (regex.go:282,295 analogue)."""
         arr = _as_array(data)
         if self._use_batch(arr):
-            self.stats.kernel_scans += 1
-            return self.batch_engine().is_match(arr)
+            with self._timed_scan(arr):
+                return self.batch_engine().is_match(arr)
         return self._is_match_host(arr)
 
     # Go-style aliases
@@ -205,8 +233,8 @@ class Engine:
         corpus-scale inputs (meta/find.go:29 dispatch breadth), host
         otherwise."""
         if not self.longest and self._use_batch(arr):
-            self.stats.kernel_scans += 1
-            m = self.batch_engine().find_first(arr)
+            with self._timed_scan(arr):
+                m = self.batch_engine().find_first(arr)
             if m is not False:  # False == device scan non-convergence
                 return m
         return self._find_span_host(arr, 0)
@@ -232,8 +260,8 @@ class Engine:
     def _all_spans(self, arr: np.ndarray, limit: int = -1
                    ) -> List[Tuple[int, int]]:
         if self._use_batch(arr):
-            self.stats.kernel_scans += 1
-            spans = self.batch_engine().find_all_spans(arr, limit)
+            with self._timed_scan(arr):
+                spans = self.batch_engine().find_all_spans(arr, limit)
             return [(int(s), int(e)) for s, e in spans]
         n = len(arr)
         out: List[Tuple[int, int]] = []
@@ -280,17 +308,17 @@ class Engine:
         """Number of non-overlapping matches (meta/findall.go:297 Count)."""
         arr = _as_array(data)
         if self._use_batch(arr):
-            self.stats.kernel_scans += 1
-            return self.batch_engine().count(arr)
+            with self._timed_scan(arr):
+                return self.batch_engine().count(arr)
         if len(arr) >= self.batch_threshold:
             # nullable patterns route HOST for spans, but Count has an
             # exact device transducer (Go empty-match rules compiled in,
             # dfa/countdfa.py:build_count_dfa_nullable)
             be = self.batch_engine()
             if be.plan.nullable and not self.longest:
-                c = be.nullable_count(arr)
+                with self._timed_scan(arr):
+                    c = be.nullable_count(arr)
                 if c is not None:
-                    self.stats.kernel_scans += 1
                     return c
         return len(self._all_spans(arr))
 

@@ -137,6 +137,58 @@ def make_sharded_flags(mesh: Mesh, ddfa: DeviceDFA, axis: str = "data"):
     return run
 
 
+def make_sharded_ends(mesh: Mesh, ddfa: DeviceDFA, cap: int,
+                      axis: str = "data"):
+    """Sharded match-end discovery with per-shard compaction: each device
+    scans its shard from its exact (transfer-fold) entry state and
+    compacts its flag offsets into a fixed [cap] buffer (global byte
+    offsets, fill = n_pad), plus per-shard counts for overflow detection
+    — the fixed-capacity match-buffer protocol of SURVEY.md §5 (ragged
+    results are not XLA-friendly).
+
+    Returns fn(data_u8 [n]) -> (positions [D*cap] i32, counts [D] i32);
+    n must be divisible by the mesh size.  Positions beyond the true
+    corpus length (zero padding added by the caller) must be filtered on
+    host; counts > cap mean the shard overflowed (caller falls back)."""
+    delta, match_on = ddfa.delta, ddfa.match_on
+    starts_tbl, classes = ddfa.starts, ddfa.classes
+    S = ddfa.num_states
+    ndev = mesh.shape[axis]
+
+    def body(data_shard, delta, match_on, starts_tbl, classes):
+        my = jax.lax.axis_index(axis)
+        m = data_shard.shape[0]
+        cls_shard = classes[data_shard]
+        F = _local_transfer_fn(delta, cls_shard, S)
+        Fs = jax.lax.all_gather(F, axis)
+        sot = starts_tbl[CTX_SOT]
+
+        def fold(d, e):
+            return jnp.where(d < my, Fs[d][e], e)
+        entry = jax.lax.fori_loop(0, ndev, fold, sot)
+
+        def step(s, c):
+            return delta[s, c], match_on[s, c]
+        _, flags = jax.lax.scan(step, entry, cls_shard, unroll=4)
+        cnt = flags.sum(dtype=jnp.int32)
+        (idx,) = jnp.nonzero(flags, size=cap, fill_value=m)
+        pos = (idx + my * m).astype(jnp.int32)
+        pos = jnp.where(idx == m, jnp.int32(ndev) * m, pos)
+        return pos, cnt[None]
+
+    smapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False)
+
+    @jax.jit
+    def run(data):
+        return smapped(data, delta, match_on, starts_tbl, classes)
+
+    return run
+
+
 def default_mesh(n_devices: Optional[int] = None, axis: str = "data"
                  ) -> Mesh:
     devs = jax.devices()

@@ -61,6 +61,31 @@ class TestShardedEngineCount:
         host.batch_threshold = 1 << 60
         assert got == host.count(text)
 
+    def test_engine_find_all_sharded_spans(self):
+        """find_all's start discovery runs sharded (make_sharded_ends)
+        on the mesh and agrees with the host loop span-for-span."""
+        import re
+
+        import numpy as np
+        from coregex_tpu.meta.engine import Engine
+        from coregex_tpu.utils.corpus_cache import device_corpus
+        rng = np.random.default_rng(4)
+        corpus = (b" ".join(
+            [b"aa@bb", b"3.14", b"xy", b"zz@q", b"9.9.9",
+             bytes(rng.choice(list(b"abc @.123"), size=20))]) + b"\n") * 800
+        arr = np.frombuffer(corpus, np.uint8)
+        for pat in [r"[a-z]+@[a-z]+", r"\d+\.\d+"]:
+            e = Engine.compile(pat)
+            e.batch_threshold = 0
+            be = e.batch_engine()
+            spans = be._full_scan_spans(device_corpus(arr), arr,
+                                        len(arr), -1)
+            got = [(int(s), int(q)) for s, q in spans]
+            exp = [m.span() for m in re.finditer(pat.encode(), corpus)]
+            assert len(exp) > 0 and got == exp, pat
+            assert getattr(be, "_sharded_ends_fn", None) not in \
+                (None, False), "sharded start discovery must be active"
+
     def test_sharded_go_count_tail_and_empty(self):
         import numpy as np
         from coregex_tpu.dfa.countdfa import build_count_dfa
