@@ -304,7 +304,7 @@ class BatchEngine:
         if strat != Strategy.FULL_SCAN:
             return len(self.find_all_spans(data, limit=1)) > 0
         from ..dfa.dense import CTX_SOT
-        from ..ops.dfa_scan import ChunkScanner, flags_count
+        from ..ops.dfa_scan import ChunkScanner, flags_count_upto
         from ..utils.corpus_cache import device_corpus
         dev = device_corpus(data)
         fwd = self._dense("fwd_all")
@@ -313,7 +313,7 @@ class BatchEngine:
         if not bool(jax.device_get(conv)):
             hflags, _ = sc._host_scan(dev, None)
             return bool(hflags.any())
-        if int(jax.device_get(flags_count(flags))) > 0:
+        if int(jax.device_get(flags_count_upto(flags, n))) > 0:
             return True
         exit_n = sc._exit_at_n(dev, exits, L, T, n)
         return bool(fwd.host_eoi[exit_n, CTX_SOT])

@@ -84,14 +84,28 @@ class DeviceCountDFA:
 # Geometry + corpus tiling (cached on device per corpus)
 # ---------------------------------------------------------------------------
 
+def size_bucket(n: int) -> int:
+    """Round a corpus length up to a 1/8-power-of-two bucket (<= 12.5%
+    padding).  Kernel geometries derive from the bucket, so ONE compiled
+    executable serves every corpus size in it — compiles through the
+    remote compile service cost minutes each, and exactness is preserved
+    by the per-lane `limits` masking."""
+    if n <= 4096:
+        return -(-n // 512) * 512
+    step = max(1, (1 << (n.bit_length() - 1)) // 8)
+    return -(-n // step) * step
+
+
 def plan_geometry(n: int, lc: int = 1024, tile_bytes: int = 256,
                   warmup: int = 64) -> Tuple[int, int, int, int]:
     """Returns (L, T, W, Lc).  T is a multiple of tile_bytes (and 4); W a
-    multiple of 4.  Small inputs shrink the lane count."""
-    while lc > 128 and 8 * lc * tile_bytes > 4 * max(n, 1):
+    multiple of 4.  Small inputs shrink the lane count; T derives from
+    the size bucket, not n, to bound the number of compiled shapes."""
+    nb = size_bucket(max(n, 1))
+    while lc > 128 and 8 * lc * tile_bytes > 4 * nb:
         lc //= 2
     L = 8 * lc
-    T = -(-n // L)
+    T = -(-nb // L)
     T = -(-T // tile_bytes) * tile_bytes
     W = min(warmup, T)
     W = max(4, (W // 4) * 4)

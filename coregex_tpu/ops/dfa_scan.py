@@ -185,12 +185,18 @@ def make_step(ddfa_shapes: Tuple[int, int], impl: str):
 
 def _plan_geometry(n: int, target_chunk: int = 1024, max_lanes: int = 65536,
                    warmup: int = 64) -> Tuple[int, int, int]:
+    """Lane geometry for the chunked scan.  T derives from the 1/8-pow2
+    size bucket (count_scan.size_bucket) so one compiled executable
+    serves every corpus size in the bucket (remote compiles cost
+    minutes); per-lane bounds keep the result exact."""
+    from .count_scan import size_bucket
     if n <= 2 * target_chunk:
-        return 1, max(n, 1), 0
-    lanes = min(max_lanes, max(1, -(-n // target_chunk)))
+        return 1, size_bucket(max(n, 1)), 0
+    nb = size_bucket(n)
+    lanes = min(max_lanes, max(1, -(-nb // target_chunk)))
     lanes = 1 << (lanes - 1).bit_length()
     lanes = min(lanes, max_lanes)
-    T = -(-n // lanes)
+    T = -(-nb // lanes)
     W = min(warmup, max(T // 2, 1))
     return lanes, T, W
 
@@ -367,6 +373,19 @@ class DeviceDFAView:
 @jax.jit
 def flags_count(flags: jnp.ndarray) -> jnp.ndarray:
     return flags.sum(dtype=jnp.int32)
+
+
+@jax.jit
+def flags_count_upto(flags: jnp.ndarray, n) -> jnp.ndarray:
+    """Count of set flags at offsets <= n.  Flags beyond n live in the
+    zero-padding region: a pattern whose tail can consume NUL bytes
+    would otherwise report phantom matches formed inside the padding
+    (a flag at exactly n is legitimate — the delayed match ending at
+    the corpus edge realizes on the first pad byte)."""
+    L, T = flags.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) * T + \
+        jax.lax.broadcasted_iota(jnp.int32, (L, T), 1)
+    return (flags & (idx <= n)).sum(dtype=jnp.int32)
 
 
 @jax.jit

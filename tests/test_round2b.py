@@ -98,3 +98,29 @@ class TestRowBatch:
         e = Engine.compile(r"a|ab", longest=True)
         assert e.is_match_batch([b"xaby"]) == [True]
         assert e.find_index_batch([b"xaby"]) == [(1, 3)]
+
+
+class TestPaddingExactness:
+    def test_nul_tail_no_phantom_match(self):
+        """Zero padding in the chunked scan must not fabricate matches
+        for patterns whose tail can consume NUL bytes."""
+        import re
+
+        from coregex_tpu.meta.engine import Engine
+        e = Engine.compile(r"[ax]*[\x00b]+")
+        e.batch_threshold = 0
+        assert e.strategy == "full_scan"
+        t = b"zzz qqq rrr a" * 3000
+        assert e.is_match(t) is False
+        t2 = t + b"\x00"
+        assert e.is_match(t2) is True
+        assert bool(re.search(rb"[ax]*[\x00b]+", t2))
+
+    def test_size_bucket_geometry_reuse(self):
+        from coregex_tpu.ops.count_scan import plan_geometry, size_bucket
+        # sizes within 12.5% share one geometry
+        assert plan_geometry(1_000_000) == plan_geometry(1_060_000)
+        assert size_bucket(1 << 20) == 1 << 20
+        for n in (1, 513, 4097, 10**6, 10**9):
+            assert size_bucket(n) >= n
+            assert size_bucket(n) <= max(512, n * 1.125 + 1)
