@@ -126,6 +126,20 @@ def oracle_count(pattern: str, base: bytes) -> int:
     return sum(1 for _ in re.finditer(pattern.encode("ascii"), base))
 
 
+def _free_config_state(eng):
+    """Release per-config device residue: the engine's DFA tables and any
+    flipped corpus copies.  The forward corpus buffer and the word-tile
+    layouts stay cached (shared across configs); everything else goes so
+    config N+1 starts with full HBM headroom (the r2 bench died from
+    accumulated residue, BENCH_r02.json)."""
+    import gc
+    from coregex_tpu.utils import corpus_cache
+    if eng is not None:
+        eng._batch = None  # drop BatchEngine (DeviceDFA/scanner tables)
+    corpus_cache.release_flipped()
+    gc.collect()
+
+
 def main():
     from coregex_tpu.meta.engine import Engine
 
@@ -150,22 +164,36 @@ def main():
     gbps_all = []
     results = {}
     parity_all = True
+    failures = []
     for name, pattern, ref_ms, src in CONFIGS:
         if time.time() - _T0 > BUDGET_S:
             print(f"  {name}: skipped (budget)", file=sys.stderr)
             continue
-        eng = Engine.compile(pattern)
-        eng.batch_threshold = 0
-        # warmup (jit compile)
-        t0 = time.perf_counter()
-        cnt = eng.count(arr)
-        warm = time.perf_counter() - t0
-        times = []
-        for _ in range(2):
+        # One config's failure (OOM, compile timeout, kernel bug) must
+        # never vaporize the rest: guard compile+run per config and free
+        # per-config device state before moving on.
+        eng = None
+        try:
+            eng = Engine.compile(pattern)
+            eng.batch_threshold = 0
+            # warmup (jit compile)
             t0 = time.perf_counter()
-            eng.count(arr)
-            times.append(time.perf_counter() - t0)
-        best = min(times)
+            cnt = eng.count(arr)
+            warm = time.perf_counter() - t0
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                eng.count(arr)
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+        except Exception as ex:
+            failures.append(name)
+            print(f"  {name:16} FAILED: {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", file=sys.stderr)
+            results[name] = dict(error=f"{type(ex).__name__}: "
+                                 f"{str(ex)[:200]}")
+            _free_config_state(eng)
+            continue
         if check_parity:
             expect = reps * oracle_count(pattern, base)
             ok = (cnt == expect)
@@ -187,6 +215,7 @@ def main():
               f"  [{eng.strategy}]  warm={warm:.1f}s"
               f"  {'ok' if ok else 'PARITY FAIL exp=%s' % expect}",
               file=sys.stderr)
+        _free_config_state(eng)
 
     if not gbps_all:
         print(json.dumps({"metric": "bench budget exhausted before any "
@@ -200,7 +229,10 @@ def main():
     print(json.dumps({
         "metric": f"geomean GB/s over {len(gbps_all)}/{n_total} reference "
                   "headline configs (6MB), parity-checked"
-                  + ("" if parity_all else " [PARITY FAIL]"),
+                  + ("" if parity_all else " [PARITY FAIL]")
+                  + ("" if not failures
+                     else f" [{len(failures)} failed: "
+                          f"{','.join(failures)}]"),
         "value": round(geomean_gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(vs_baseline, 3),

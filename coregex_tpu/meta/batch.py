@@ -724,6 +724,8 @@ class BatchEngine:
             return None
         starts = self._rev_start_flags(dev, data, n, np.array([e]),
                                        kind="rev_anch")
+        if starts is None:
+            return False  # caller falls back to host
         if len(starts) == 0:  # pragma: no cover - fwd/rev disagree
             return None
         return (int(starts.min()), e)
@@ -1041,10 +1043,15 @@ class BatchEngine:
             todo = todo[alive]
             W *= 4
             if W > 4 * (n + 1):
-                # lanes alive beyond full text length cannot happen; safety
-                for lane in todo:
-                    pass
-                break
+                # lanes alive beyond the full text length should be
+                # impossible; if it ever happens, surface it as a
+                # candidate-pipeline failure so callers fall back to the
+                # exact full-scan path rather than silently dropping
+                # those lanes' match starts
+                from .config import debug
+                debug(1, f"_rev_start_flags: {len(todo)} lanes alive past "
+                         f"W={W}; falling back")
+                return None
         if not starts_all:
             return np.empty(0, dtype=np.int64)
         out = np.unique(np.concatenate(starts_all))
@@ -1069,6 +1076,8 @@ class BatchEngine:
         if len(cand) > MAX_CANDIDATES:
             return self._full_scan_spans(dev, data, n, limit)
         starts = self._rev_start_flags(dev, data, n, cand_end)
+        if starts is None:
+            return self._full_scan_spans(dev, data, n, limit)
         if len(starts) == 0:
             return np.empty((0, 2), dtype=np.int64)
         ws = WindowScanner(self._dense(self._verify_kind()))
@@ -1139,9 +1148,14 @@ class BatchEngine:
         if getattr(self, "_sharded_ends_fn", None) is False:
             return None  # previously failed: retired
         rev = self._dense("rev_all")
-        if getattr(self, "_sharded_ends_fn", None) is None:
+        cap = max(4096, n // 256)
+        if (getattr(self, "_sharded_ends_fn", None) is None
+                or cap > getattr(self, "_sharded_ends_cap", 0)):
+            # rebuild when a larger corpus needs a bigger per-shard match
+            # buffer than the cached fn was compiled with
             self._sharded_ends_fn = make_sharded_ends(
-                default_mesh(), rev, cap=max(4096, n // 256))
+                default_mesh(), rev, cap=cap)
+            self._sharded_ends_cap = cap
         ndev = len(jax.devices())
         flipped = np.ascontiguousarray(data[::-1])
         pad = (-n) % ndev

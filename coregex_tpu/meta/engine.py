@@ -316,9 +316,16 @@ class Engine:
             # dfa/countdfa.py:build_count_dfa_nullable)
             be = self.batch_engine()
             if be.plan.nullable and not self.longest:
-                with self._timed_scan(arr):
-                    c = be.nullable_count(arr)
+                import time as _time
+                t0 = _time.perf_counter()
+                c = be.nullable_count(arr)
                 if c is not None:
+                    # account the scan only when the kernel actually
+                    # produced the count (not when the UTF-8 gate or
+                    # scanner scope bounced it to the host loop below)
+                    self.stats.kernel_scans += 1
+                    self.stats.kernel_bytes += len(arr)
+                    self.stats.kernel_seconds += _time.perf_counter() - t0
                     return c
         return len(self._all_spans(arr))
 

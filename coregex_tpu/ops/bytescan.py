@@ -269,36 +269,85 @@ def class_runs(data: jnp.ndarray, membership: np.ndarray
     return starts, ends
 
 
+# Chunk size for the tiled run-count scan: per-chunk intermediates are a
+# few int32 arrays of this size (~100 MB peak), independent of corpus
+# length — the bounded-HBM rewrite of the old whole-corpus kernel whose
+# ~12-16 bytes/corpus-byte transients OOMed 1.5 GB corpora.
+RUN_COUNT_CHUNK = 1 << 22
+
+
 def class_run_count(data: jnp.ndarray, membership: np.ndarray,
                     min_len: int, max_len: int) -> int:
     """Number of [class]{m,k}-greedy matches, computed fully on device:
     per maximal run of length len, matches = len//k + (len%k >= m)
-    (k == -1 -> one match per run of len >= m)."""
-    if int(data.shape[0]) == 0:
+    (k == -1 -> one match per run of len >= m).  Runs in O(chunk) HBM via
+    a lax.scan over fixed-size chunks carrying (total, pending-run-len)."""
+    n = int(data.shape[0])
+    if n == 0:
         return 0
-    mask = _class_mask_from_table(data, membership)
-    return int(jax.device_get(
-        _run_count_kernel(mask, min_len, max_len)))
+    ranges = table_to_ranges(membership)
+    return int(jax.device_get(_run_count_tiled(
+        data, jnp.int32(n), ranges, min_len, max_len, RUN_COUNT_CHUNK)))
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k"))
-def _run_count_kernel(mask: jnp.ndarray, m: int, k: int):
-    n = mask.shape[0]
-    prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
-    nxt = jnp.concatenate([mask[1:], jnp.zeros(1, bool)])
-    is_start = mask & ~prev
-    is_end = mask & ~nxt
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    # run length at each end position: distance to the most recent start
-    start_pos = jnp.where(is_start, idxs, -1)
-    latest_start = jax.lax.cummax(start_pos)
-    run_len = jnp.where(is_end, idxs - latest_start + 1, 0)
-    if m <= 1 and k == -1:
-        return is_start.sum(dtype=jnp.int32)
+def _per_run(length, m: int, k: int):
+    """Matches contributed by one maximal run of `length` (0 -> 0)."""
     if k == -1:
-        return (run_len >= m).sum(dtype=jnp.int32)
-    per = run_len // k + ((run_len % k) >= m)
-    return jnp.where(run_len > 0, per, 0).sum(dtype=jnp.int32)
+        if m <= 1:
+            return (length > 0).astype(jnp.int32)
+        return (length >= m).astype(jnp.int32)
+    return jnp.where(length > 0, length // k + ((length % k) >= m), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("ranges", "m", "k", "C"))
+def _run_count_tiled(data: jnp.ndarray, n, ranges, m: int, k: int, C: int):
+    NC = -(-data.shape[0] // C)
+    pad = NC * C - data.shape[0]
+    chunks = jnp.pad(data, (0, pad)).reshape(NC, C)
+    iota = jnp.arange(C, dtype=jnp.int32)
+
+    def body(carry, xc):
+        total, pending = carry
+        chunk, ci = xc
+        base = ci * C
+        valid_len = jnp.clip(n - base, 0, C)
+        mask = _range_mask(chunk, ranges) & (iota < valid_len)
+        prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
+        nxt = jnp.concatenate([mask[1:], jnp.zeros(1, bool)])
+        is_start = mask & ~prev
+        is_end = mask & ~nxt
+        latest_start = jax.lax.cummax(jnp.where(is_start, iota, -1))
+        run_len = jnp.where(is_end, iota - latest_start + 1, 0)
+        sum_all = jnp.sum(_per_run(run_len, m, k))
+        notm = ~mask
+        prefix_len = jnp.minimum(
+            jnp.where(jnp.any(notm), jnp.argmax(notm), C).astype(jnp.int32),
+            valid_len)
+        last_notm = jnp.max(jnp.where(notm & (iota < valid_len), iota, -1))
+        suffix_len = jnp.where(valid_len > 0, valid_len - 1 - last_notm, 0)
+        whole = (prefix_len == valid_len) & (valid_len > 0)
+        leads = prefix_len > 0
+        # run completions at the chunk's left edge: the pending run either
+        # merges with a leading member run or terminates immediately
+        lead_contrib = jnp.where(
+            valid_len == 0, 0,
+            jnp.where(leads,
+                      jnp.where(whole, 0, _per_run(pending + prefix_len,
+                                                   m, k)),
+                      _per_run(pending, m, k)))
+        interior = sum_all \
+            - jnp.where(leads, _per_run(prefix_len, m, k), 0) \
+            - jnp.where((suffix_len > 0) & ~whole,
+                        _per_run(suffix_len, m, k), 0)
+        new_pending = jnp.where(
+            valid_len == 0, pending,
+            jnp.where(whole, pending + valid_len, suffix_len))
+        return (total + lead_contrib + interior, new_pending), None
+
+    init = (jnp.int32(0), jnp.int32(0))
+    xs = (chunks, jnp.arange(NC, dtype=jnp.int32))
+    (total, pending), _ = jax.lax.scan(body, init, xs)
+    return total + _per_run(pending, m, k)
 
 
 @jax.jit

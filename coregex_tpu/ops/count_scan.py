@@ -91,7 +91,8 @@ def size_bucket(n: int) -> int:
     remote compile service cost minutes each, and exactness is preserved
     by the per-lane `limits` masking."""
     if n <= 4096:
-        return -(-n // 512) * 512
+        step = max(64, (1 << (n.bit_length() - 1)) // 8)
+        return -(-n // step) * step
     step = max(1, (1 << (n.bit_length() - 1)) // 8)
     return -(-n // step) * step
 

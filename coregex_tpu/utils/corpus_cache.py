@@ -40,7 +40,7 @@ def device_corpus(arr: np.ndarray):
     ent = _cache.get(key)
     if ent is None:
         dev = jnp.asarray(arr)
-        ent = [dev, None]
+        ent = [dev, None, None]
         _cache[key] = ent
         while len(_cache) > _MAX_ENTRIES:
             _cache.popitem(last=False)
@@ -61,25 +61,33 @@ def device_corpus_flipped(arr: np.ndarray):
     return ent[1]
 
 
-_ascii_cache: "OrderedDict[tuple, bool]" = OrderedDict()
-
-
 def corpus_is_ascii(arr: np.ndarray) -> bool:
-    """Every byte < 0x80 (simd.IsASCII analogue, simd/ascii_amd64.go:12),
-    cached per corpus fingerprint — the runtime switch that selects the
-    ASCII-projected engine tables (meta/ismatch.go:217 analogue)."""
+    """Every byte < 0x80 (simd.IsASCII analogue, simd/ascii_amd64.go:12).
+
+    Computed once per cached DEVICE buffer (one max-reduction on device)
+    and stored on the cache entry: the verdict is therefore always
+    consistent with the buffer the kernels actually scan — an in-place
+    host mutation with an unchanged fingerprint serves the stale device
+    buffer (documented contract), and the ASCII verdict matches it."""
     if len(arr) == 0:
         return True
+    import jax
     key = _fingerprint(arr)
-    v = _ascii_cache.get(key)
-    if v is None:
-        v = bool(int(arr.max()) < 0x80)
-        _ascii_cache[key] = v
-        while len(_ascii_cache) > 16:
-            _ascii_cache.popitem(last=False)
-    return v
+    ent = _cache.get(key)
+    if ent is None:
+        device_corpus(arr)
+        ent = _cache[key]
+    if ent[2] is None:
+        ent[2] = bool(int(jax.device_get(ent[0].max())) < 0x80)
+    return ent[2]
+
+
+def release_flipped():
+    """Drop cached flipped copies (keep the forward buffers) — device
+    memory hygiene between large-corpus workloads."""
+    for ent in _cache.values():
+        ent[1] = None
 
 
 def clear():
     _cache.clear()
-    _ascii_cache.clear()
