@@ -164,11 +164,12 @@ class BatchEngine:
     """Per-pattern batch execution plan + device artifacts."""
 
     def __init__(self, parsed: Parsed, ast: Node, dfas_ok: bool,
-                 longest: bool = False, stats=None):
+                 longest: bool = False, stats=None, host_find=None):
         self.parsed = parsed
         self.ast = ast
         self.longest = longest
         self.stats = stats  # Engine.Stats for prefilter hit/miss counters
+        self.host_find = host_find  # (arr, pos) -> span | None (PikeVM)
         self.plan: Plan = select(ast, dfas_ok)
         if longest and self.plan.strategy == Strategy.MULTI_LITERAL:
             # POSIX picks the longest alternative at a position, not the
@@ -179,6 +180,8 @@ class BatchEngine:
         self._host_dense: Dict[str, object] = {}
         self._sieve = None
         self._count_sc = None  # lazy CountScanner; False == unavailable
+        self._bitset_fwd = None  # lazy BitsetNFAScanner; False == out of scope
+        self._bitset_rev = None
         self._count_sc_ascii = None  # lazy ASCII-projected CountScanner
         self._sharded_sc = None  # lazy ShardedGoCount; False == unavailable
         self._seq_sc = None  # lazy SeqScanner; False == unavailable
@@ -280,6 +283,8 @@ class BatchEngine:
             return self._end_anchored_spans(data, n)
         if strat == Strategy.FULL_SCAN:
             return self._full_scan_spans(dev, data, n, limit)
+        if strat == Strategy.BITSET_NFA:
+            return self._bitset_spans(dev, data, n, limit)  # None = host
         raise RuntimeError("host strategy should not reach BatchEngine")
 
     def _end_anchored_spans(self, data: np.ndarray, n: int) -> np.ndarray:
@@ -295,14 +300,24 @@ class BatchEngine:
             return np.empty((0, 2), dtype=np.int64)
         return np.array([[s, n]], dtype=np.int64)
 
-    def is_match(self, data: np.ndarray) -> bool:
+    def is_match(self, data: np.ndarray):
+        """True/False, or None when the device path is out of scope
+        (caller falls back to the host engine)."""
         import jax
         n = len(data)
         strat = self.plan.strategy
         if strat == Strategy.END_ANCHORED:
             return len(self._end_anchored_spans(data, n)) > 0
+        if strat == Strategy.BITSET_NFA:
+            from ..utils.corpus_cache import device_corpus
+            r = self._bitset_is_match(device_corpus(data), n)
+            if r is not None:
+                return r
+            sp = self._bitset_spans(device_corpus(data), data, n, 1)
+            return None if sp is None else len(sp) > 0
         if strat != Strategy.FULL_SCAN:
-            return len(self.find_all_spans(data, limit=1)) > 0
+            sp = self.find_all_spans(data, limit=1)
+            return None if sp is None else len(sp) > 0
         from ..dfa.dense import CTX_SOT
         from ..ops.dfa_scan import ChunkScanner, flags_count_upto
         from ..utils.corpus_cache import device_corpus
@@ -637,7 +652,8 @@ class BatchEngine:
             c = self._line_shape_count_device(dev, len(data))
             if c is not None:
                 return c
-        return len(self.find_all_spans(data))
+        sp = self.find_all_spans(data)
+        return None if sp is None else len(sp)
 
     # -- single-match (Find / FindIndex, meta/find.go:29 analogue) --------
     def find_first(self, data: np.ndarray) -> Optional[Tuple[int, int]]:
@@ -673,6 +689,11 @@ class BatchEngine:
             return self._charclass_first(dev, n)
         if strat == Strategy.END_ANCHORED:
             sp = self._end_anchored_spans(data, n)
+            return None if len(sp) == 0 else (int(sp[0, 0]), int(sp[0, 1]))
+        if strat == Strategy.BITSET_NFA:
+            sp = self._bitset_spans(dev, data, n, 1)
+            if sp is None:
+                return False  # host fallback
             return None if len(sp) == 0 else (int(sp[0, 0]), int(sp[0, 1]))
         return self._find_first_dfa(dev, data, n)
 
@@ -1131,6 +1152,111 @@ class BatchEngine:
         keep = ends >= 0
         self._note_prefilter(keep)
         return go_select(starts[keep], ends[keep], n, data, limit)
+
+    # .. bitset-NFA fallback (DFA overflow) ..............................
+    def _bitset_scanner(self, kind: str):
+        """Lazy BitsetNFAScanner for 'fwd' (match ends) or 'rev' (match
+        starts over the flipped corpus); False when out of scope (looks,
+        nullable, or too many range states)."""
+        slot = "_bitset_fwd" if kind == "fwd" else "_bitset_rev"
+        sc = getattr(self, slot)
+        if sc is None:
+            sc = False
+            from ..ops.nfa_scan import BitsetNFAScanner, LookUnsupported
+            try:
+                nfa = compile_nfa(self.parsed, reverse=(kind == "rev"),
+                                  with_captures=False)
+                sc = BitsetNFAScanner(nfa)
+            except LookUnsupported:
+                pass
+            setattr(self, slot, sc)
+        return sc
+
+    def _bitset_starts(self, data, n) -> Optional[np.ndarray]:
+        """All match-start offsets via the reverse bitset-NFA scan on the
+        flipped corpus (a flipped end at boundary j is a forward start at
+        n - j); None = out of scope / non-convergence (host fallback)."""
+        from ..utils.corpus_cache import device_corpus_flipped
+        sc = self._bitset_scanner("rev")
+        if not sc:
+            return None
+        fdev = device_corpus_flipped(data)
+        ends, ok = self._bitset_try(sc.ends, fdev, "_bitset_rev")
+        if not ok or ends is None:
+            return None
+        return np.sort((n - ends).astype(np.int64))
+
+    def _bitset_try(self, fn, dev, slot):
+        try:
+            out, ok = fn(dev)
+            return out, ok
+        except Exception as ex:  # pragma: no cover - device specific
+            from .config import debug
+            debug(1, f"bitset scanner {slot} failed "
+                     f"({type(ex).__name__}); retired: {ex}")
+            setattr(self, slot, False)
+            return None, False
+
+    def _bitset_is_match(self, dev, n) -> Optional[bool]:
+        import jax
+        sc = self._bitset_scanner("fwd")
+        if not sc:
+            return None
+        try:
+            flags, conv = sc.flags(dev)
+            if not bool(jax.device_get(conv)):
+                return None
+            from ..ops.bytescan import mask_count
+            return int(jax.device_get(mask_count(flags[:n]))) > 0
+        except Exception as ex:  # pragma: no cover - device specific
+            from .config import debug
+            debug(1, f"bitset is_match failed ({type(ex).__name__}): {ex}")
+            self._bitset_fwd = False
+            return None
+
+    def _bitset_spans(self, dev, data, n, limit) -> Optional[np.ndarray]:
+        """Spans for DFA-overflow patterns: device start discovery +
+        anchored-DFA window verification when the ANCHORED automaton
+        still determinizes (it is usually far smaller than the
+        unanchored one), else host PikeVM ends on the sparse start set.
+        Returns None = full host fallback."""
+        from ..ops.dfa_scan import WindowScanner
+        starts = self._bitset_starts(data, n)
+        if starts is None:
+            return None
+        if len(starts) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        try:
+            ws = WindowScanner(self._dense(self._verify_kind()))
+            ends = ws.ends_for_starts(dev, starts)
+            keep = ends >= 0
+            return go_select(starts[keep], ends[keep], n, data, limit)
+        except DFAOverflow:
+            pass
+        return self._spans_from_starts_host(data, n, starts, limit)
+
+    def _spans_from_starts_host(self, data, n, starts, limit
+                                ) -> Optional[np.ndarray]:
+        """Go FindAll restart walk over verified device-discovered starts
+        with host PikeVM ends: the non-match regions were skipped on
+        device; host work is O(total matched bytes)."""
+        if self.host_find is None:
+            return None
+        out: List[Tuple[int, int]] = []
+        pos = 0
+        i = 0
+        m = len(starts)
+        while i < m and (limit < 0 or len(out) < limit):
+            i = int(np.searchsorted(starts, pos, side="left"))
+            if i >= m:
+                break
+            sp = self.host_find(data, int(starts[i]))
+            if sp is None:  # pragma: no cover - fwd/rev disagree
+                break
+            out.append((int(sp[0]), int(sp[1])))
+            # non-nullable (bitset gate): every match is non-empty
+            pos = int(sp[1])
+        return np.array(out, dtype=np.int64).reshape(-1, 2)
 
     # .. full scan ........................................................
     def _sharded_starts(self, data, n) -> Optional[np.ndarray]:

@@ -145,7 +145,8 @@ class Engine:
             self._batch = BatchEngine(self.parsed, self.parsed.ast,
                                       dfas_ok=self.fwd is not None,
                                       longest=self.longest,
-                                      stats=self.stats)
+                                      stats=self.stats,
+                                      host_find=self._find_span_host)
         return self._batch
 
     @property
@@ -221,7 +222,9 @@ class Engine:
         arr = _as_array(data)
         if self._use_batch(arr):
             with self._timed_scan(arr):
-                return self.batch_engine().is_match(arr)
+                r = self.batch_engine().is_match(arr)
+            if r is not None:
+                return r
         return self._is_match_host(arr)
 
     # Go-style aliases
@@ -262,7 +265,8 @@ class Engine:
         if self._use_batch(arr):
             with self._timed_scan(arr):
                 spans = self.batch_engine().find_all_spans(arr, limit)
-            return [(int(s), int(e)) for s, e in spans]
+            if spans is not None:
+                return [(int(s), int(e)) for s, e in spans]
         n = len(arr)
         out: List[Tuple[int, int]] = []
         pos = 0
@@ -309,7 +313,9 @@ class Engine:
         arr = _as_array(data)
         if self._use_batch(arr):
             with self._timed_scan(arr):
-                return self.batch_engine().count(arr)
+                c = self.batch_engine().count(arr)
+            if c is not None:
+                return c
         if len(arr) >= self.batch_threshold:
             # nullable patterns route HOST for spans, but Count has an
             # exact device transducer (Go empty-match rules compiled in,
@@ -585,6 +591,9 @@ class Engine:
         if n == 0:
             return []
         arr = _as_array(data)
+        if len(self.parsed.pattern) > 0 and len(arr) == 0:
+            # Go: non-empty expression on empty input -> [""]
+            return [b""]
         text = bytes(arr.tobytes())
         spans = self._all_spans(arr, -1)
         out: List[bytes] = []
@@ -718,8 +727,7 @@ class Engine:
         """Stream a file-like object through the DFA with carried state;
         stops at the first match."""
         if self.fwd is None or self.longest:
-            data = reader.read()
-            return self.is_match(data)
+            return self._stream_search(reader, chunk_size) is not None
         from ..dfa.dense import CTX_SOT, DEAD
         fwd = self.fwd
         s = int(fwd.starts[CTX_SOT])
@@ -738,30 +746,42 @@ class Engine:
                     return False
         return bool(fwd.match_eoi[s, CTX_SOT])
 
-    def find_reader_index(self, reader, chunk_size: int = 1 << 20
-                          ) -> Optional[Tuple[int, int]]:
-        """FindReaderIndex: buffers consumed input (like Go's rune reader
-        adapter) and reports the leftmost match span in stream offsets."""
-        chunks = []
+    def _stream_search(self, reader, chunk_size: int):
+        """Run the incremental PikeVM over the reader: constant memory
+        (thread queues + one carried byte), stops reading as soon as the
+        leftmost match is decided — the true-streaming engine behind
+        Go's MatchReader family (regex.go:1619-1667, which feeds its NFA
+        machine one rune at a time without buffering)."""
+        from ..engines.pikevm import StreamPikeVM
+        sm = StreamPikeVM(self.pikevm, longest=self.longest)
         while True:
             buf = reader.read(chunk_size)
             if not buf:
                 break
-            chunks.append(bytes(buf))
-        data = b"".join(chunks)
-        return self.find_index(data)
+            m = sm.feed(bytes(buf))
+            if m is not None or sm.done:
+                return sm.matched
+        return sm.finish()
+
+    def find_reader_index(self, reader, chunk_size: int = 1 << 20
+                          ) -> Optional[Tuple[int, int]]:
+        """FindReaderIndex (regex.go:1630): leftmost match span in stream
+        offsets, reading only as much input as needed."""
+        m = self._stream_search(reader, chunk_size)
+        return None if m is None else (m[0], m[1])
 
     def find_reader_submatch_index(self, reader, chunk_size: int = 1 << 20
                                    ) -> Optional[List[Optional[int]]]:
-        """FindReaderSubmatchIndex (regex.go:1650 analogue): buffer the
-        stream, report flat submatch indices in stream offsets."""
-        chunks = []
-        while True:
-            buf = reader.read(chunk_size)
-            if not buf:
-                break
-            chunks.append(bytes(buf))
-        return self.find_submatch_index(b"".join(chunks))
+        """FindReaderSubmatchIndex (regex.go:1650 analogue): submatch
+        group spans in stream offsets, streaming with constant memory."""
+        m = self._stream_search(reader, chunk_size)
+        if m is None:
+            return None
+        groups = []
+        for i in range(0, len(m), 2):
+            a, b = m[i], m[i + 1]
+            groups.append(None if a < 0 or b < 0 else (a, b))
+        return groups
 
     # -- string-offset variants (Go Find*String*Index, regex.go) ---------
     # Offsets are byte offsets into the UTF-8 encoding, exactly as in Go

@@ -371,6 +371,19 @@ def is_nullable(node: Node) -> bool:
     return False
 
 
+_LOOK_OPS = (Op.BEGIN_TEXT, Op.END_TEXT, Op.BEGIN_LINE, Op.END_LINE,
+             Op.WORD_BOUNDARY, Op.NO_WORD_BOUNDARY)
+
+
+def has_looks(node: Node) -> bool:
+    """Any look-around assertion anywhere in the AST (anchors, \\b/\\B).
+    Gates the bitset-NFA device fallback, whose epsilon closure is
+    context-free (ops/nfa_scan.py)."""
+    if node.op in _LOOK_OPS:
+        return True
+    return any(has_looks(s) for s in (node.subs or ()))
+
+
 def has_start_anchor(node: Node) -> bool:
     """Pattern can only match at text start (every alternative begins \\A/^
     non-multiline)."""

@@ -39,6 +39,7 @@ class Strategy(enum.Enum):
     PREFIX_RUN = "prefix_run"
     END_ANCHORED = "end_anchored"
     FULL_SCAN = "full_scan"
+    BITSET_NFA = "bitset_nfa"
     HOST = "host"
 
 
@@ -72,6 +73,16 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
                     charclass=cc, nullable=nullable)
 
     if not dfas_ok:
+        # DFA-overflow fallback tier: device bitset-NFA start discovery
+        # (ops/nfa_scan.py) when the pattern is in scope — no
+        # look-around (context-free epsilon closure) and not nullable.
+        # The lazy-DFA degradation of the reference
+        # (dfa/lazy/lazy.go:1472-1502) keeps its scan on the CPU; this
+        # keeps ours on the TPU.
+        if not nullable and not litmod.has_looks(ast):
+            return Plan(Strategy.BITSET_NFA,
+                        "DFA overflow; device bitset-NFA scan",
+                        nullable=nullable)
         return Plan(Strategy.HOST, "DFA overflow; PikeVM only",
                     nullable=nullable)
     if nullable:

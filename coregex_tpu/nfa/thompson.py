@@ -31,6 +31,28 @@ class CompileError(ValueError):
     pass
 
 
+def ast_nullable(n: Node) -> bool:
+    """Whether the sub-expression can match the empty string
+    (canMatchEmpty, reference nfa/compile.go:1389)."""
+    op = n.op
+    if op in (Op.EMPTY, Op.STAR, Op.QUEST):
+        return True
+    if op in (Op.BEGIN_LINE, Op.END_LINE, Op.BEGIN_TEXT,
+              Op.END_TEXT, Op.WORD_BOUNDARY, Op.NO_WORD_BOUNDARY):
+        return True
+    if op == Op.LITERAL:
+        return len(n.runes) == 0
+    if op == Op.PLUS or op == Op.CAPTURE:
+        return ast_nullable(n.subs[0])
+    if op == Op.REPEAT:
+        return n.min == 0 or ast_nullable(n.subs[0])
+    if op == Op.CONCAT:
+        return all(ast_nullable(s) for s in n.subs)
+    if op == Op.ALTERNATE:
+        return any(ast_nullable(s) for s in n.subs)
+    return False
+
+
 class Frag:
     __slots__ = ("start", "outs", "nullable")
 
@@ -111,24 +133,7 @@ class Compiler:
         (contains U+FFFD, so its NFA grows the 0x80+ single-byte
         branch)."""
 
-        def nullable(n: Node) -> bool:
-            op = n.op
-            if op in (Op.EMPTY, Op.STAR, Op.QUEST):
-                return True
-            if op in (Op.BEGIN_LINE, Op.END_LINE, Op.BEGIN_TEXT,
-                      Op.END_TEXT, Op.WORD_BOUNDARY, Op.NO_WORD_BOUNDARY):
-                return True
-            if op == Op.LITERAL:
-                return len(n.runes) == 0
-            if op == Op.PLUS or op == Op.CAPTURE:
-                return nullable(n.subs[0])
-            if op == Op.REPEAT:
-                return n.min == 0 or nullable(n.subs[0])
-            if op == Op.CONCAT:
-                return all(nullable(s) for s in n.subs)
-            if op == Op.ALTERNATE:
-                return any(nullable(s) for s in n.subs)
-            return False
+        nullable = ast_nullable
 
         def has_fffd(n: Node) -> bool:
             if n.op in (Op.ANY_CHAR, Op.ANY_NOT_NL):
@@ -328,6 +333,23 @@ class Compiler:
         return Frag(split, outs)
 
     def _compile_star(self, sub: Node, greedy: bool) -> Frag:
+        if ast_nullable(sub):
+            # x* with nullable x compiles as (x+)?: the plain loop's
+            # "iterate empty, then exit" path dies at the revisited split
+            # in a DFS epsilon closure, losing the empty-match-preferred
+            # ordering Go's backtracking semantics require — e.g. (|a)*
+            # on "aa" must match empty at 0, not "aa" (reference
+            # nfa/compile.go:1313-1388 compileStarViaPlus, adapted from
+            # rust-lang/regex#779).  The ? split is a fresh state, so the
+            # exit after one empty iteration survives the closure.
+            plus = self._compile_plus(sub, greedy)
+            if greedy:
+                q = self.nfa.add_split([plus.start, -1])
+                hole = (q, 2)
+            else:
+                q = self.nfa.add_split([-1, plus.start])
+                hole = (q, 1)
+            return Frag(q, plus.outs + [hole])
         split = self.nfa.add_split([-1, -1])
         body = self._compile(sub)
         if greedy:

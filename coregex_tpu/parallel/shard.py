@@ -55,12 +55,15 @@ def _local_flag_scan(delta, match_on, cls_shard, entry):
     return fin, cnt
 
 
-def make_sharded_count(mesh: Mesh, ddfa: DeviceDFA, axis: str = "data"):
+def make_sharded_count(mesh: Mesh, ddfa: DeviceDFA, axis: str = "data",
+                       vector_out: bool = False):
     """Build a jitted sharded all-match-ends counter over `mesh`.
 
     Returns fn(data_u8 [n]) -> total match-end count (int32), with n
     divisible by the mesh size.  Tables replicate; data shards.
-    """
+    `vector_out` returns the per-shard [D] vector (every entry equals
+    the psum'd total) instead of a scalar — multi-process callers read
+    their own addressable shard (parallel/distributed.py)."""
     delta, match_on = ddfa.delta, ddfa.match_on
     match_eoi, starts_tbl, classes = ddfa.match_eoi, ddfa.starts, ddfa.classes
     S = ddfa.num_states
@@ -95,7 +98,7 @@ def make_sharded_count(mesh: Mesh, ddfa: DeviceDFA, axis: str = "data"):
     @jax.jit
     def run(data):
         out = smapped(data, delta, match_on, match_eoi, starts_tbl, classes)
-        return out[0]
+        return out if vector_out else out[0]
 
     return run
 

@@ -86,6 +86,7 @@ class Oracle:
     byte offsets."""
 
     def __init__(self, pat: str):
+        self.pattern = pat
         self.rx = re.compile(go_pattern(pat), re.ASCII)
         self.groups = self.rx.groups
 
@@ -148,6 +149,9 @@ def go_all_matches(rx: Oracle, data: bytes, limit: int = -1
 def go_split(rx: Oracle, data: bytes, n: int = -1) -> List[bytes]:
     if n == 0:
         return []
+    if len(rx.pattern) > 0 and len(data) == 0:
+        # Go: non-empty expression on empty input -> [""] (regexp.go Split)
+        return [b""]
     spans = go_all_matches(rx, data)
     out: List[bytes] = []
     beg = 0
