@@ -648,9 +648,17 @@ class Engine:
         return -1
 
     def set_longest(self, longest: bool = True) -> None:
-        """Regexp.Longest(): switch to POSIX leftmost-longest matching."""
+        """Regexp.Longest(): switch to POSIX leftmost-longest matching.
+
+        Like Go's Regexp.Longest, not safe to call concurrently with
+        searches — but the swap is prepared on a fresh engine and
+        installed in one attribute update, so self is never observable
+        in a half-initialized state (and dense-DFA artifacts rebuild
+        through the on-disk cache, not from scratch)."""
         if longest != self.longest:
-            self.__init__(self.parsed, longest=longest, config=self.config)
+            fresh = Engine(self.parsed, longest=longest,
+                           config=self.config)
+            self.__dict__.update(fresh.__dict__)
 
     def expand(self, template: Bytes, src: Bytes,
                match: Sequence[int]) -> bytes:

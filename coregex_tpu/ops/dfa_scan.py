@@ -236,38 +236,47 @@ def _chunk_scan_full(delta, match_on, comb, starts_tbl, bounds, data,
     offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
 
     def scan_once(entries, offsets):
-        def body(carry, xc):
+        def body_w(carry, c):
             s, t = carry
-            c = xc
             live = t >= offsets
-            nxt, flg = step(tables, s, c)
-            new_s = jnp.where(live, nxt, s)
-            return (new_s, t + 1), flg & live
-        (fin, _), flags = jax.lax.scan(
-            body, (entries, jnp.int32(0)), xs_T, unroll=8)
-        return fin, flags
+            nxt, _ = step(tables, s, c)
+            return (jnp.where(live, nxt, s), t + 1), None
 
-    exits0, flags0 = scan_once(entries0, offsets0)
+        def body_m(s, c):
+            nxt, flg = step(tables, s, c)
+            return nxt, flg
+
+        (sync, _), _ = jax.lax.scan(
+            body_w, (entries, jnp.int32(0)), xs_T[:W], unroll=4)
+        fin, flags = jax.lax.scan(body_m, sync, xs_T[W:], unroll=8)
+        return fin, flags, sync
+
+    exits0, flags0, sync0 = scan_once(entries0, offsets0)
 
     def want_of(exits):
         return jnp.concatenate([jnp.array([1], jnp.int32) * sot_start,
                                 exits[:-1]])
 
+    # compare the previous lane's exit against the POST-warmup state at
+    # the lane start (same position): a warmup that already converged
+    # the state costs no repair rescan.  Comparing the pre-warmup entry
+    # guess here (the original code) made nearly every scan pay a
+    # spurious full-corpus repair round.
     def cond(state):
-        k, entries, exits, flags = state
-        return (k < max_repair) & jnp.any(want_of(exits) != entries)
+        k, entries, exits, flags, sync = state
+        return (k < max_repair) & jnp.any(want_of(exits) != sync)
 
     def rep(state):
-        k, entries, exits, flags = state
+        k, entries, exits, flags, sync = state
         new_entries = want_of(exits)
         offs = jnp.full((L,), W, jnp.int32)
-        new_exits, new_flags = scan_once(new_entries, offs)
-        return (k + 1, new_entries, new_exits, new_flags)
+        new_exits, new_flags, new_sync = scan_once(new_entries, offs)
+        return (k + 1, new_entries, new_exits, new_flags, new_sync)
 
-    k, entries, exits, flags = jax.lax.while_loop(
-        cond, rep, (jnp.int32(0), entries0, exits0, flags0))
-    converged = ~jnp.any(want_of(exits) != entries)
-    return flags[W:, :].T, exits, converged
+    k, entries, exits, flags, sync = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), entries0, exits0, flags0, sync0))
+    converged = ~jnp.any(want_of(exits) != sync)
+    return flags.T, exits, converged
 
 
 class ChunkScanner:

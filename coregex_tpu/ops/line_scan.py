@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .count_scan import corpus_word_tiles, plan_geometry
-from .seq_scan import LEN_MAX, build_mask_tables
+from .seq_scan import LEN_MAX, build_mask_tables, needle_phase_plans
 
 try:
     from jax.experimental import pallas as pl
@@ -79,7 +79,7 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
                  counts_ref, lnl_ref, lp_ref, lh_ref, mpre_ref,
                  tail_scr, cnt_scr, mpre_scr, cln_scr, clp_scr,
                  clh_scr, *, J: int, M: int, Tt4: int, Lc: int,
-                 anchored: bool, plen: int):
+                 anchored: bool, plen: int, nw: tuple = ()):
     """One grid step processes Tt4 word rows per lane, delayed M rows for
     needle lookahead.  All passes are vectorized over rows; only the
     4-phase unrolls are explicit."""
@@ -92,10 +92,14 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
         out = 0
         for kk in range(4):
             c = None
-            for m in range(M):
+            # static per-(needle, phase) word count: unused trailing
+            # slots (mask 0 == always true) are skipped at trace time
+            for m in range(nw[j][kk] if nw else M):
                 e = (full[m:m + Q] & masks_ref[j, kk, m]) \
                     == vals_ref[j, kk, m]
                 c = e if c is None else (c & e)
+            if c is None:
+                c = jnp.ones(full.shape[1:], dtype=jnp.bool_)[None]
             out = out | jnp.where(c, 1 << kk, 0)
         return out
 
@@ -216,10 +220,10 @@ def _line_kernel(masks_ref, vals_ref, pnl_ref, heads_ref, tiles_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("J", "M", "T4", "Tt4", "Lc", "anchored", "plen",
-                     "interpret"))
+                     "nw", "interpret"))
 def _pallas_line(masks, vals, pnl, heads, tiles, J: int, M: int, T4: int,
                  Tt4: int, Lc: int, anchored: bool, plen: int,
-                 interpret: bool = False):
+                 nw: tuple = (), interpret: bool = False):
     n_tiles = T4 // Tt4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -243,7 +247,7 @@ def _pallas_line(masks, vals, pnl, heads, tiles, J: int, M: int, T4: int,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
     )
     kern = functools.partial(_line_kernel, J=J, M=M, Tt4=Tt4, Lc=Lc,
-                             anchored=anchored, plen=plen)
+                             anchored=anchored, plen=plen, nw=nw)
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct((8, Lc), jnp.int32)
@@ -285,6 +289,8 @@ class LineScanner:
         self.masks = jnp.asarray(masks)
         self.vals = jnp.asarray(vals)
         self.J = len(self.needles)
+        self.nw = tuple(tuple(len(p) for p in needle_phase_plans(x))
+                        for x in items)
 
     @staticmethod
     def supported(needles: Sequence[bytes], prefix: bytes = b"") -> bool:
@@ -314,7 +320,7 @@ class LineScanner:
         outs = _pallas_line(
             self.masks, self.vals, pnl.reshape(8, Lc), heads, tiles,
             J=self.J, M=self.M, T4=T4, Tt4=min(64, T4), Lc=Lc,
-            anchored=self.anchored, plen=self.plen,
+            anchored=self.anchored, plen=self.plen, nw=self.nw,
             interpret=self.interpret)
         cnt, lnl, lpe, lhe, mpre = (
             np.asarray(v).reshape(L).astype(np.int64)
@@ -402,7 +408,7 @@ def _hits_kernel(masks_ref, vals_ref, heads_ref, tiles_ref,
                  counts_ref, ov_ref, fh_ref, reach_ref,
                  tail_scr, cnt_scr, ov_scr, fh_scr, crc_scr, *,
                  groups: Tuple[Tuple[int, int], ...], M: int, Tt4: int,
-                 Lc: int):
+                 Lc: int, nw: tuple = ()):
     """groups = ((j_start, length), ...) partition of needle slots by
     length (slots [j_start, next_start) share `length`)."""
     g = pl.program_id(0)
@@ -426,10 +432,14 @@ def _hits_kernel(masks_ref, vals_ref, heads_ref, tiles_ref,
                 out = 0
                 for kk in range(4):
                     c = None
-                    for m in range(M):
+                    # unused trailing word slots skipped at trace time
+                    for m in range(nw[j][kk] if nw else M):
                         e = (full[m:m + Q] & masks_ref[j, kk, m]) \
                             == vals_ref[j, kk, m]
                         c = e if c is None else (c & e)
+                    if c is None:
+                        c = jnp.ones(full.shape[1:],
+                                     dtype=jnp.bool_)[None]
                     out = out | jnp.where(c, 1 << kk, 0)
                 gh = out if gh is None else (gh | out)
             ghits.append((gh, glen))
@@ -488,9 +498,11 @@ def _hits_kernel(masks_ref, vals_ref, heads_ref, tiles_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups", "M", "T4", "Tt4", "Lc", "interpret"))
+    static_argnames=("groups", "M", "T4", "Tt4", "Lc", "nw",
+                     "interpret"))
 def _pallas_hits(masks, vals, heads, tiles, groups, M: int, T4: int,
-                 Tt4: int, Lc: int, interpret: bool = False):
+                 Tt4: int, Lc: int, nw: tuple = (),
+                 interpret: bool = False):
     n_tiles = T4 // Tt4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -512,7 +524,7 @@ def _pallas_hits(masks, vals, heads, tiles, groups, M: int, T4: int,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
     )
     kern = functools.partial(_hits_kernel, groups=groups, M=M, Tt4=Tt4,
-                             Lc=Lc)
+                             Lc=Lc, nw=nw)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct((8, Lc), jnp.int32)
@@ -538,6 +550,8 @@ class HitsScanner:
         masks, vals, _ = build_mask_tables(nds, self.M)
         self.masks = jnp.asarray(masks)
         self.vals = jnp.asarray(vals)
+        self.nw = tuple(tuple(len(p) for p in needle_phase_plans(x))
+                        for x in nds)
         groups: List[Tuple[int, int]] = []
         for j, nd in enumerate(nds):
             if not groups or len(nd) != groups[-1][1]:
@@ -576,7 +590,7 @@ class HitsScanner:
         tt4 = 64 if J <= 8 else (32 if J <= 24 else 16)
         outs = _pallas_hits(self.masks, self.vals, heads, tiles,
                             groups=self.groups, M=self.M, T4=T4,
-                            Tt4=min(tt4, T4), Lc=Lc,
+                            Tt4=min(tt4, T4), Lc=Lc, nw=self.nw,
                             interpret=self.interpret)
         cnt, ov, fh, reach = (np.asarray(v).reshape(L).astype(np.int64)
                               for v in jax.device_get(outs))

@@ -99,13 +99,58 @@ _SPECIAL: Dict[str, Ranges] = {
     "Any": ((0, 0x10FFFF),),
 }
 
+# Full script coverage (Go delegates to its unicode tables,
+# nfa/compile.go:600-975; we delegate to the `regex` module's Unicode
+# script property data): ranges are derived lazily per requested script
+# by scanning one string containing every scalar value with
+# \p{Script}+ and mapping match spans back to codepoints.  Exact per
+# the Unicode data the regex module ships; cached in-process.
+_SCRIPT_CACHE: Dict[str, Optional[Ranges]] = {}
+_ALL_CPS = None  # (string of all scalar values, built lazily)
+
+
+def _all_scalars() -> str:
+    global _ALL_CPS
+    if _ALL_CPS is None:
+        _ALL_CPS = ("".join(map(chr, range(0, 0xD800)))
+                    + "".join(map(chr, range(0xE000, 0x110000))))
+    return _ALL_CPS
+
+
+def _idx_to_cp(i: int) -> int:
+    return i if i < 0xD800 else i + 0x800
+
+
+def _script_ranges(name: str) -> Optional[Ranges]:
+    if name in _SCRIPT_CACHE:
+        return _SCRIPT_CACHE[name]
+    out: Optional[Ranges] = None
+    try:
+        import regex as _re_mod
+        pat = _re_mod.compile(r"\p{%s}+" % name, _re_mod.V0)
+        s = _all_scalars()
+        rs = []
+        for m in pat.finditer(s):
+            a, b = m.span()
+            lo, hi = _idx_to_cp(a), _idx_to_cp(b - 1)
+            if lo < 0xD800 <= hi:
+                # split runs crossing the surrogate gap: D800-DFFF are
+                # not scalar values and must not enter class ranges
+                rs.append((lo, 0xD7FF))
+                rs.append((0xE000, hi))
+            else:
+                rs.append((lo, hi))
+        out = tuple(rs) if rs else None
+    except Exception:
+        out = _SCRIPTS.get(name)
+    _SCRIPT_CACHE[name] = out
+    return out
+
 
 def lookup(name: str) -> Optional[Ranges]:
     if name in _SPECIAL:
         return _SPECIAL[name]
-    if name in _SCRIPTS:
-        return _SCRIPTS[name]
     if len(name) <= 2 and name[:1].isupper():
         _build_categories()
         return _CATEGORY_RANGES.get(name)
-    return None
+    return _script_ranges(name)
