@@ -237,7 +237,11 @@ class Compiler:
         if not seqs:
             sid = self.nfa.add_fail()
             return Frag(sid, [])
-        # join state so suffix chains can be shared
+        # join state so suffix chains can be shared: `cache` below is the
+        # UTF-8 suffix cache (nfa/utf8_suffix.go Utf8SuffixMap analogue)
+        # — identical continuation chains like [80-BF][80-BF] build once
+        # per class, so the any-rune class is ~16 range states for its 9
+        # byte sequences instead of 26
         join = self.nfa.add_split([-1])
         out_hole = (join, 1)
         cache = {}

@@ -108,3 +108,21 @@ class TestUnicodeScripts:
         data = "abΩΣcd".encode()
         out = e.find_all(data)
         assert out and out[0].decode() == "ΩΣ"
+
+
+def test_utf8_suffix_cache_dedup():
+    """UTF-8 continuation chains are shared within a class (the
+    Utf8SuffixMap analogue, nfa/utf8_suffix.go): the any-rune class
+    costs ~21 states (9 leads + 7 shared suffixes + plumbing), not the
+    ~35 an unshared trie would need."""
+    from coregex_tpu.nfa.thompson import compile_nfa
+    from coregex_tpu.syntax.parser import parse
+    nfa = compile_nfa(parse(r"\A(?s)."), with_captures=False)
+    # two any-rune classes (the body + the unanchored rune-prefix loop),
+    # each 9 lead ranges + 7 SHARED suffix ranges + 2 invalid-byte
+    # branches = 18 range states; an unshared trie would need 26+2 per
+    # class (52+ ranges total, 60+ states)
+    from coregex_tpu.nfa.nfa import Kind
+    ranges = sum(1 for s in nfa.states if s[0] == Kind.RANGE)
+    assert ranges == 36, ranges
+    assert len(nfa.states) <= 44, len(nfa.states)
