@@ -722,12 +722,19 @@ class BatchEngine:
             return None if p >= n else (p, p + len(lit))
         if strat == Strategy.MULTI_LITERAL:
             lits = tuple(tuple(l) for l in self.plan.literals)
-            best, blen = _multi_literal_scan(dev, lits)
-            p = first_set_index(best >= 0)
-            if p >= n:
-                return None
-            k = int(jax.device_get(blen[p]))
-            return (p, p + k)
+            # chunked: find_first should touch O(prefix), not build
+            # priority/length maps for the whole corpus
+            maxlen = max(len(l) for l in self.plan.literals)
+            CH = 1 << 24
+            for off in range(0, n, CH):
+                end = min(n, off + CH)
+                sl = dev[off:min(n, end + maxlen - 1)]
+                best, blen = _multi_literal_scan(sl, lits)
+                p = first_set_index(best >= 0)
+                if p < end - off:
+                    k = int(jax.device_get(blen[p]))
+                    return (off + p, off + p + k)
+            return None
         if strat == Strategy.CHARCLASS:
             return self._charclass_first(dev, n)
         if strat == Strategy.END_ANCHORED:
@@ -799,21 +806,29 @@ class BatchEngine:
         prefilter (one launch, one scalar sync) — the runtime density gate
         (prefilter/tracker.go:37 analogue, resolved per corpus)."""
         import jax
-        from ..ops.bytescan import _memmem_mask, _multi_literal_scan, \
-            mask_count
+        from ..ops.bytescan import (_MULTI_SPAN_CHUNK, _memmem_mask,
+                                    _multi_literal_scan, mask_count)
         if self.plan.strategy == Strategy.INNER:
             sp = self.plan.split
             if len(sp.lits) == 1:
                 mask = _memmem_mask(dev, tuple(sp.lit))
-            else:
-                best, _ = _multi_literal_scan(
-                    dev, tuple(tuple(l) for l in sp.lits))
-                mask = best >= 0
+                return int(jax.device_get(mask_count(mask)))
+            lits = tuple(tuple(l) for l in sp.lits)
         else:
             lits = tuple(tuple(l) for l in self.plan.prefix_lits)
-            best, _ = _multi_literal_scan(dev, lits)
-            mask = best >= 0
-        return int(jax.device_get(mask_count(mask)))
+        # chunked: the priority map is int32 per position — bound the
+        # transient on GB corpora
+        n = int(dev.shape[0])
+        maxlen = max(len(l) for l in lits)
+        total = 0
+        for off in range(0, n, _MULTI_SPAN_CHUNK):
+            end = min(n, off + _MULTI_SPAN_CHUNK)
+            sl = dev[off:min(n, end + maxlen - 1)]
+            best, _ = _multi_literal_scan(sl, lits)
+            limit = end - off
+            total += int(jax.device_get(mask_count(
+                (best >= 0)[:limit])))
+        return total
 
     # .. prefix-run (leading [class]+) .................................
     def _prefix_run_table(self) -> np.ndarray:
@@ -897,9 +912,24 @@ class BatchEngine:
 
     # -- strategy executors ---------------------------------------------
     def _charclass_spans(self, dev, n, limit) -> np.ndarray:
-        from ..ops.bytescan import class_runs
+        import jax
+        from ..ops.bytescan import (_bucket, _class_mask_from_table,
+                                    _mask_nonzero, _run_masks, mask_count)
         cc = self.plan.charclass
-        starts, ends = class_runs(dev, np.array(cc.table, dtype=bool))
+        mask = _class_mask_from_table(dev, np.array(cc.table, dtype=bool))
+        smask, emask = _run_masks(mask)
+        cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        # with min<=1 every run yields >=1 match, so a find-all limit
+        # bounds the extraction (a 1.5 GB corpus can hold 300M+ runs;
+        # extracting them all for find_all(n=10) would be absurd)
+        take = cnt if (limit < 0 or cc.min > 1) else min(cnt, limit)
+        cap = _bucket(take, 16)
+        starts = np.asarray(jax.device_get(
+            _mask_nonzero(smask, cap)))[:take].astype(np.int64)
+        ends = np.asarray(jax.device_get(
+            _mask_nonzero(emask, cap)))[:take].astype(np.int64) + 1
         m, k = cc.min, cc.max
         if cc.plus:
             # ([c]{m,k})+ whole-run form: one match per run of length >= m,

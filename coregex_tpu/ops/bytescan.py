@@ -71,11 +71,22 @@ def _mask_nonzero_chunked(mask: jnp.ndarray, cap: int, C: int):
 def _mask_nonzero(mask: jnp.ndarray, cap: int):
     """k-th set position; out-of-range queries return mask.shape[0]
     (the sentinel, same contract as nonzero's fill_value).  Small masks
-    use one cumsum+searchsorted; large masks the bounded-memory
-    two-level scheme."""
-    if int(mask.shape[0]) <= _NZ_DIRECT_LIMIT:
+    use one cumsum+searchsorted; large sparse masks the bounded-memory
+    two-level scheme.  Dense results (cap approaching n/chunk) fall back
+    to the direct cumsum: its 4n transient beats the two-level scheme's
+    cap*chunk gather there."""
+    n = int(mask.shape[0])
+    if n <= _NZ_DIRECT_LIMIT:
         return _mask_nonzero_direct(mask, cap)
-    return _mask_nonzero_chunked(mask, cap, _NZ_CHUNK)
+    # the chunked scheme's [cap, C] row gather must stay modest — both
+    # for HBM and for the XLA compiler (giant gathers have crashed the
+    # remote compile service): shrink the chunk as the query count
+    # grows, and for genuinely dense extractions fall back to the
+    # direct cumsum (one 4n transient beats a larger-than-n gather)
+    C = max(64, min(_NZ_CHUNK, (1 << 28) // max(cap, 1)))
+    if cap * C > (1 << 28) or cap > n // 4:
+        return _mask_nonzero_direct(mask, cap)
+    return _mask_nonzero_chunked(mask, cap, C)
 
 
 def mask_positions(mask: jnp.ndarray) -> np.ndarray:
@@ -217,10 +228,23 @@ def _multi_compact(best, blen, cap: int):
     return idx, jnp.take(best, safe), jnp.take(blen, safe)
 
 
+# Above this size the span scan runs chunked: the priority/length maps
+# are int32 per position (8 bytes/corpus byte), too much to hold for a
+# GB-scale corpus in one piece.
+_MULTI_SPAN_CHUNK = 1 << 28
+
+
 def multi_literal_hits(data: jnp.ndarray, literals: Sequence[bytes]
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (positions, literal_index, literal_length) for every position
     where some alternation branch matches, with branch priority applied."""
+    n = int(data.shape[0])
+    if n > _MULTI_SPAN_CHUNK:
+        return _multi_literal_hits_chunked(data, literals, n)
+    return _multi_literal_hits_one(data, literals, 0)
+
+
+def _multi_literal_hits_one(data, literals, base: int):
     lits = tuple(tuple(l) for l in literals)
     best, blen = _multi_literal_scan(data, lits)
     cnt = int(jax.device_get(mask_count(best >= 0)))
@@ -232,7 +256,25 @@ def multi_literal_hits(data: jnp.ndarray, literals: Sequence[bytes]
     idx = np.asarray(jax.device_get(idx))[:cnt].astype(np.int64)
     b = np.asarray(jax.device_get(b))[:cnt].astype(np.int64)
     l = np.asarray(jax.device_get(l))[:cnt].astype(np.int64)
-    return idx, b, l
+    return idx + base, b, l
+
+
+def _multi_literal_hits_chunked(data, literals, n: int):
+    """Chunked with (maxlen-1)-byte lookahead overlap; overlap-region
+    hits are attributed to the chunk that owns the position, so the
+    concatenation is exactly the whole-corpus result."""
+    maxlen = max(len(l) for l in literals)
+    C = _MULTI_SPAN_CHUNK
+    outs = []
+    for off in range(0, n, C):
+        end = min(n, off + C)
+        sl = data[off:min(n, end + maxlen - 1)]
+        idx, b, l = _multi_literal_hits_one(sl, literals, off)
+        keep = idx < end
+        outs.append((idx[keep], b[keep], l[keep]))
+    return (np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+            np.concatenate([o[2] for o in outs]))
 
 
 @jax.jit

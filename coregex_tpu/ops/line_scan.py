@@ -586,8 +586,10 @@ class HitsScanner:
         heads = _lane_heads(tiles, self.M, L, Lc)
         # large needle sets keep more per-group planes live: shrink the
         # tile rows to stay inside the ~16MB scoped-VMEM budget
+        import os
         J = len(self.needles)
-        tt4 = 64 if J <= 8 else (32 if J <= 24 else 16)
+        tt4 = int(os.environ.get("COREGEX_TPU_HITS_TT4", "0")) or \
+            (64 if J <= 8 else (32 if J <= 24 else 16))
         outs = _pallas_hits(self.masks, self.vals, heads, tiles,
                             groups=self.groups, M=self.M, T4=T4,
                             Tt4=min(tt4, T4), Lc=Lc, nw=self.nw,
