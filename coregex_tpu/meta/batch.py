@@ -23,8 +23,13 @@ from . import literal as litmod
 from .literal import UNIV_ANY, UNIV_LINE, UNIV_NONE
 from .strategy import Plan, Strategy, select
 
-MAX_CANDIDATES = 1 << 21
-MAX_STARTS = 1 << 22
+# Candidate-pipeline density gate.  The batched window machinery runs
+# bounded per-launch lane batches (WindowScanner.MAX_LANES), so tens of
+# millions of candidates are fine — measured on chip: 12M reverse-start
+# lanes over a 1.6 GB corpus in ~34 s.  Beyond this the full-scan DFA
+# sweep wins on arithmetic density.
+MAX_CANDIDATES = 1 << 24
+MAX_STARTS = 1 << 24
 
 
 def _rune_width_np(data: np.ndarray, pos: int) -> int:
@@ -1034,10 +1039,12 @@ class BatchEngine:
             return None, None, None
         cap = _bucket(cnt, 16)
         cand_dev = _mask_nonzero(cand_mask, cap)        # sentinel n
+        del cand_mask  # free the corpus-sized mask before the next one
         nl_mask = _newline_mask(dev)
         nl_cnt = int(jax.device_get(mask_count(nl_mask)))
         nlcap = _bucket(max(nl_cnt, 1), 16)
         nl_dev = _mask_nonzero(nl_mask, nlcap)          # sorted, tail n
+        del nl_mask
 
         P_lit = tuple(sp.prefix_literal) if sp.line_anchored else ()
         valid, ls_d, le_d = _line_cand_bounds(
@@ -1143,29 +1150,36 @@ class BatchEngine:
         from ..utils.corpus_cache import device_corpus_flipped
         rp = self._dense(kind)
         fdev = device_corpus_flipped(data)
+        from ..ops.dfa_scan import WindowScanner
         starts_all: List[np.ndarray] = []
         todo = np.arange(len(cand_end))
         W = 64
         j0 = (n - cand_end).astype(np.int64)  # flipped-coords lane starts
         impl = _impl_default()
+        MAXB = WindowScanner.MAX_LANES  # bounded per-launch lane batches
         while len(todo):
-            B = _bucket(len(todo), 16)
-            sb = np.zeros(B, dtype=np.int32)
-            sb[:len(todo)] = j0[todo]
-            Wc = min(W, n + 1)
-            flags, alive = _window_scan_flags(
-                rp.delta, rp.match_on, rp.comb, rp.match_eoi, rp.starts,
-                rp.bounds, fdev, jnp.asarray(sb), jnp.int32(n),
-                jnp.full(B, n, dtype=jnp.int32), B=B, W=Wc,
-                S=rp.num_states, C=rp.num_classes, impl=impl)
-            flags = np.asarray(jax.device_get(flags))[:len(todo)]
-            alive = np.asarray(jax.device_get(alive))[:len(todo)]
-            done = ~alive
-            for row, lane in zip(np.nonzero(done)[0], todo[done]):
-                ts = np.nonzero(flags[row])[0]
-                if len(ts):
-                    starts_all.append(n - (j0[lane] + ts))
-            todo = todo[alive]
+            nxt_parts: List[np.ndarray] = []
+            for off in range(0, len(todo), MAXB):
+                batch = todo[off:off + MAXB]
+                B = _bucket(len(batch), 16)
+                sb = np.zeros(B, dtype=np.int32)
+                sb[:len(batch)] = j0[batch]
+                Wc = min(W, n + 1)
+                flags, alive = _window_scan_flags(
+                    rp.delta, rp.match_on, rp.comb, rp.match_eoi,
+                    rp.starts, rp.bounds, fdev, jnp.asarray(sb),
+                    jnp.int32(n), jnp.full(B, n, dtype=jnp.int32), B=B,
+                    W=Wc, S=rp.num_states, C=rp.num_classes, impl=impl)
+                flags = np.asarray(jax.device_get(flags))[:len(batch)]
+                alive = np.asarray(jax.device_get(alive))[:len(batch)]
+                done = ~alive
+                for row, lane in zip(np.nonzero(done)[0], batch[done]):
+                    ts = np.nonzero(flags[row])[0]
+                    if len(ts):
+                        starts_all.append(n - (j0[lane] + ts))
+                nxt_parts.append(batch[alive])
+            todo = np.concatenate(nxt_parts) if nxt_parts else \
+                np.empty(0, dtype=np.int64)
             W *= 4
             if W > 4 * (n + 1):
                 # lanes alive beyond the full text length should be

@@ -74,7 +74,14 @@ def _mask_nonzero(mask: jnp.ndarray, cap: int):
     use one cumsum+searchsorted; large sparse masks the bounded-memory
     two-level scheme.  Dense results (cap approaching n/chunk) fall back
     to the direct cumsum: its 4n transient beats the two-level scheme's
-    cap*chunk gather there."""
+    cap*chunk gather there.
+
+    Multi-dim masks flatten (row-major positions) — the size branch
+    must see the TOTAL element count, not a leading axis: a [L, T] flag
+    matrix once slipped into the direct path via shape[0]=L and asked
+    the compiler for 12 GB of transients."""
+    if mask.ndim > 1:
+        mask = mask.reshape(-1)
     n = int(mask.shape[0])
     if n <= _NZ_DIRECT_LIMIT:
         return _mask_nonzero_direct(mask, cap)
@@ -84,7 +91,10 @@ def _mask_nonzero(mask: jnp.ndarray, cap: int):
     # grows, and for genuinely dense extractions fall back to the
     # direct cumsum (one 4n transient beats a larger-than-n gather)
     C = max(64, min(_NZ_CHUNK, (1 << 28) // max(cap, 1)))
-    if cap * C > (1 << 28) or cap > n // 4:
+    if cap > (1 << 20) or cap * C > (1 << 28) or cap > n // 4:
+        # dense extractions: the direct cumsum's one 4n transient is
+        # known-good at GB scale; the chunked scheme's row gather with
+        # millions of queries has failed remote compilation
         return _mask_nonzero_direct(mask, cap)
     return _mask_nonzero_chunked(mask, cap, C)
 

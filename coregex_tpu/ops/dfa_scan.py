@@ -214,8 +214,11 @@ def _chunk_scan_full(delta, match_on, comb, starts_tbl, bounds, data,
     tables = (delta, match_on, comb)
     step = make_step((S, C), impl)
 
+    # classes fit a byte: keeping the corpus-length arrays u8 instead of
+    # int32 cuts the class-map + warmup-concat transients from ~13 GB to
+    # ~3.3 GB on a 1.6 GB corpus (indices promote at use sites)
     cls_all = jnp.searchsorted(bounds, data.astype(jnp.int32),
-                               side="right").astype(jnp.int32)
+                               side="right").astype(jnp.uint8)
     pad = L * T - data.shape[0]
     cls_pad = jnp.pad(cls_all, (0, pad))
     chunks = cls_pad.reshape(L, T)
@@ -292,6 +295,20 @@ class ChunkScanner:
         self.max_repair = max_repair
         self.impl = impl or _impl_default()
 
+    # per-launch byte cap: the single-launch scan's transpose/flag
+    # buffers fail remote compilation past ~512 MB, so larger corpora
+    # run as sequential segments with the exact exit state carried
+    # (segment k's lane-0 entry = segment k-1's final exit — the same
+    # sequential chain, split across launches)
+    SEG_LIMIT = 1 << 29
+
+    def _scan_one(self, data, sot, L, T, W):
+        d = self.d
+        return _chunk_scan_full(
+            d.delta, d.match_on, d.comb, d.starts, d.bounds, data,
+            sot, L=L, T=T, W=W, S=d.num_states, C=d.num_classes,
+            impl=self.impl, max_repair=self.max_repair)
+
     def scan_device(self, data: jnp.ndarray,
                     sot_start: Optional[int] = None):
         """Returns (flags_dev [L, T] bool, exits_dev [L], converged_dev,
@@ -299,14 +316,37 @@ class ChunkScanner:
         lane*T + t (offsets >= n are padding and always False)."""
         d = self.d
         n = int(data.shape[0])
-        L, T, W = _plan_geometry(n)
         sot = (d.starts[CTX_SOT] if sot_start is None
                else jnp.int32(sot_start))
-        flags, exits, conv = _chunk_scan_full(
-            d.delta, d.match_on, d.comb, d.starts, d.bounds, data,
-            sot, L=L, T=T, W=W, S=d.num_states, C=d.num_classes,
-            impl=self.impl, max_repair=self.max_repair)
-        return flags, exits, conv, (L, T)
+        if n <= self.SEG_LIMIT:
+            L, T, W = _plan_geometry(n)
+            flags, exits, conv = self._scan_one(data, sot, L, T, W)
+            return flags, exits, conv, (L, T)
+        L, T, W = _plan_geometry(self.SEG_LIMIT)
+        seg_bytes = L * T
+        flags_parts, exits_parts = [], []
+        conv_all = None
+        entry = sot
+        off = 0
+        while off < n:
+            end = min(n, off + seg_bytes)
+            m = end - off
+            if m == seg_bytes:
+                Lk = L
+            else:
+                Lk = -(-m // T)
+            flags, exits, conv = self._scan_one(
+                data[off:end], entry, Lk, T, min(W, T))
+            flags_parts.append(flags)
+            exits_parts.append(exits)
+            conv_all = conv if conv_all is None else (conv_all & conv)
+            # full segments end exactly at a lane boundary: the last
+            # lane's exit is the true state at offset `end`
+            entry = exits[Lk - 1]
+            off = end
+        flags = jnp.concatenate(flags_parts, axis=0)
+        exits = jnp.concatenate(exits_parts)
+        return flags, exits, conv_all, (int(flags.shape[0]), T)
 
     def scan(self, data: jnp.ndarray, sot_start: Optional[int] = None
              ) -> Tuple[np.ndarray, int]:
@@ -413,14 +453,32 @@ def _flags_positions(flags: jnp.ndarray, n: int, cap: int):
 
 
 def flag_positions(flags_dev: jnp.ndarray, n: int) -> np.ndarray:
-    """Compact device->host extraction of set flag offsets (< n)."""
-    cnt = int(jax.device_get(flags_count(flags_dev)))
-    if cnt == 0:
+    """Compact device->host extraction of set flag offsets (< n).
+
+    Large flag matrices extract in row blocks of <=2^29 elements: a
+    dense whole-matrix extraction on a GB corpus needs a corpus-sized
+    int32 cumsum, which exceeds HBM in one piece (the per-block
+    transient is ~2 GB)."""
+    L, T = flags_dev.shape
+    BLK = max(1, (1 << 29) // T)
+    if L <= BLK:
+        cnt = int(jax.device_get(flags_count(flags_dev)))
+        if cnt == 0:
+            return np.empty(0, dtype=np.int64)
+        cap = _bucket(cnt, 16)
+        idx = np.asarray(jax.device_get(
+            _flags_positions(flags_dev, n, cap)))[:cnt]
+        return idx[idx < n].astype(np.int64)
+    parts = []
+    for r0 in range(0, L, BLK):
+        blk = flags_dev[r0:r0 + BLK]
+        sub = flag_positions(blk, min(max(n - r0 * T, 0),
+                                      int(blk.shape[0]) * T))
+        if len(sub):
+            parts.append(sub + r0 * T)
+    if not parts:
         return np.empty(0, dtype=np.int64)
-    cap = _bucket(cnt, 16)
-    idx = np.asarray(jax.device_get(
-        _flags_positions(flags_dev, n, cap)))[:cnt]
-    return idx[idx < n].astype(np.int64)
+    return np.concatenate(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -492,6 +550,11 @@ class WindowScanner:
             B=B, W=min(W, n + 1), S=d.num_states, C=d.num_classes,
             impl=self.impl)
 
+    # per-launch lane cap: window scans over millions of candidates run
+    # as a sequence of bounded launches — giant one-shot [B, W] shapes
+    # have failed remote compilation and spike HBM
+    MAX_LANES = 1 << 19
+
     def ends_for_starts(self, data: jnp.ndarray, starts: np.ndarray
                         ) -> np.ndarray:
         n = int(data.shape[0])
@@ -502,15 +565,21 @@ class WindowScanner:
         W = self.init_window
         cur_starts = np.asarray(starts, dtype=np.int64)
         while len(todo):
-            B = _bucket(len(todo), 16)
-            sb = np.full(B, n, dtype=np.int32)
-            sb[:len(todo)] = cur_starts[todo]
-            last, alive = self._scan_round(data, jnp.asarray(sb), n, B, W)
-            last = np.asarray(jax.device_get(last))[:len(todo)]
-            alive = np.asarray(jax.device_get(alive))[:len(todo)]
-            ends[todo] = last
-            still = alive & (W < self.max_window) & (W <= n)
-            todo = todo[still]
+            nxt_parts = []
+            for off in range(0, len(todo), self.MAX_LANES):
+                batch = todo[off:off + self.MAX_LANES]
+                B = _bucket(len(batch), 16)
+                sb = np.full(B, n, dtype=np.int32)
+                sb[:len(batch)] = cur_starts[batch]
+                last, alive = self._scan_round(data, jnp.asarray(sb), n,
+                                               B, W)
+                last = np.asarray(jax.device_get(last))[:len(batch)]
+                alive = np.asarray(jax.device_get(alive))[:len(batch)]
+                ends[batch] = last
+                still = alive & (W < self.max_window) & (W <= n)
+                nxt_parts.append(batch[still])
+            todo = np.concatenate(nxt_parts) if nxt_parts else \
+                np.empty(0, dtype=np.int64)
             W *= 4
         return ends
 

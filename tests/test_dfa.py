@@ -85,3 +85,40 @@ def test_window_edge_contexts():
     exp = vm.find(text, 1)
     got = dfasearch.find_span(fwd, rev, arr, 1)
     assert got == exp == (5, 8)
+
+
+def test_chunk_scanner_segmented():
+    """Segmented scan_device (corpora over SEG_LIMIT run as sequential
+    launches with exact exit-state carry) equals the single-launch scan
+    flag-for-flag."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coregex_tpu.dfa.determinize import determinize
+    from coregex_tpu.nfa.thompson import compile_nfa
+    from coregex_tpu.ops.dfa_scan import ChunkScanner, DeviceDFA
+    from coregex_tpu.syntax.parser import parse
+
+    nfa = compile_nfa(parse(r"\d+\.\d+"), with_captures=False)
+    dense = determinize(nfa, anchored=False, break_at_match=False)
+    dd = DeviceDFA.from_dense(dense)
+    rng = np.random.default_rng(5)
+    data = rng.choice(list(b"ab 12.5 x 3.33 99 .7\n"),
+                      size=200_000).astype(np.uint8)
+    dev = jnp.asarray(data)
+
+    sc1 = ChunkScanner(dd)
+    f1, e1, c1, (L1, T1) = sc1.scan_device(dev)
+    sc2 = ChunkScanner(dd)
+    sc2.SEG_LIMIT = 32_768  # force ~7 segments
+    f2, e2, c2, (L2, T2) = sc2.scan_device(dev)
+    assert bool(jax.device_get(c1)) and bool(jax.device_get(c2))
+    n = len(data)
+    a = np.asarray(jax.device_get(f1)).reshape(-1)[:n]
+    b = np.asarray(jax.device_get(f2)).reshape(-1)[:n]
+    assert np.array_equal(a, b)
+    exp = dense.scan_all_ends(data)[:n]
+    assert np.array_equal(a, exp)
