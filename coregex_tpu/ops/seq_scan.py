@@ -102,9 +102,9 @@ def build_mask_tables(needles: Sequence[bytes], M: int
 
 def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
                 limits_ref, warm_ref, heads_ref, tiles_ref,
-                counts_ref, exits_ref, state_scr, cnt_scr, tail_scr,
-                ev_scr, *, J: int, M: int, Tt4: int, W4: int, Lc: int,
-                mode: int, anchored: bool, plen: int):
+                counts_ref, exits_ref, sync_ref, state_scr, cnt_scr,
+                tail_scr, ev_scr, sync_scr, *, J: int, M: int, Tt4: int,
+                W4: int, Lc: int, mode: int, anchored: bool, plen: int):
     g = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     D4 = M  # lookahead words = processing delay
@@ -215,6 +215,11 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
                 live_state = (cb >= offs - W4 * 4) & (cb < lim)
                 live_count = (cb >= 0) & (cb < lim)
                 s, cnt = substep(s, cnt, evq, kk, live_state, live_count)
+                # snapshot the state AT the lane start (post-warmup):
+                # the repair fixpoint compares this against the previous
+                # lane's exit — states at the same position — so a
+                # converged warmup costs no rescan
+                sync_scr[:] = jnp.where(cb == -1, s, sync_scr[:])
             state_scr[:] = s
             cnt_scr[:] = cnt
             return 0
@@ -225,6 +230,7 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
     def _():
         state_scr[:] = entries_ref[:]
         cnt_scr[:] = jnp.zeros_like(cnt_scr)
+        sync_scr[:] = entries_ref[:]
         warm = warm_ref[:]
         zpad = jnp.zeros((M, 8, Lc), dtype=jnp.int32)
         wfull = jnp.concatenate([warm, zpad], axis=0)
@@ -234,6 +240,8 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
         if Qw > 0:
             ev_scr[0:Qw] = events_of(wfull, Qw)
             consume(Qw, -W4 * 4)
+        if D4 == 0:
+            sync_scr[:] = state_scr[:]
         tail_scr[:] = warm[W4 - D4:]
 
     # main: seq positions are delayed by D4 words behind the tile stream
@@ -250,6 +258,7 @@ def _seq_kernel(masks_ref, vals_ref, lens_ref, entries_ref, offsets_ref,
         consume(D4, (n_tiles * Tt4 - D4) * 4)
         counts_ref[:] = cnt_scr[:]
         exits_ref[:] = state_scr[:]
+        sync_ref[:] = sync_scr[:]
 
 
 @functools.partial(
@@ -269,6 +278,7 @@ def _pallas_seq_once(masks, vals, lens, tiles, warm, heads, entries,
             pltpu.VMEM((8, Lc), jnp.int32),          # count
             pltpu.VMEM((M, 8, Lc), jnp.int32),       # tail
             pltpu.VMEM((max(Tt4, 1), 8, Lc), jnp.int32),  # events
+            pltpu.VMEM((8, Lc), jnp.int32),          # sync (lane entry)
         ],
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # masks [J,4,M]
@@ -285,21 +295,23 @@ def _pallas_seq_once(masks, vals, lens, tiles, warm, heads, entries,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(_seq_kernel, J=J, M=M, Tt4=Tt4, W4=W4,
                              Lc=Lc, mode=mode, anchored=anchored,
                              plen=plen)
-    counts, exits = pl.pallas_call(
+    counts, exits, sync = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((8, Lc), jnp.int32),
             jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
         ),
         interpret=interpret,
     )(masks, vals, lens, entries, offsets, limits, warm, heads, tiles)
-    return counts, exits
+    return counts, exits, sync
 
 
 # ---------------------------------------------------------------------------
@@ -356,15 +368,15 @@ def _seq_full(masks, vals, lens, data_u8, tiles, n,
         clean = jnp.zeros((L,), dtype=jnp.bool_).at[0].set(True)
 
     def scan_once(entries, offsets):
-        counts, exits = _pallas_seq_once(
+        counts, exits, sync = _pallas_seq_once(
             masks, vals, lens, tiles, warm, heads,
             entries.reshape(8, Lc), offsets.reshape(8, Lc),
             limits.reshape(8, Lc), J=J, M=M, T4=T4, Tt4=Tt4, W4=W4,
             Lc=Lc, mode=mode, anchored=anchored, plen=plen,
             interpret=interpret)
-        return counts.reshape(L), exits.reshape(L)
+        return counts.reshape(L), exits.reshape(L), sync.reshape(L)
 
-    counts0, exits0 = scan_once(entries0, offsets0)
+    counts0, exits0, sync0 = scan_once(entries0, offsets0)
     real = (lane_ids * T) < n
 
     def want_of(exits):
@@ -372,21 +384,24 @@ def _seq_full(masks, vals, lens, data_u8, tiles, n,
 
     dirty = real & ~clean
 
+    # compare the previous lane's exit with the POST-warmup state at
+    # the lane start (same position) — comparing the pre-warmup entry
+    # guess forced a spurious full rescan on nearly every run
     def cond(st):
-        k, entries, counts, exits = st
+        k, entries, counts, exits, sync = st
         return (k < max_repair) & jnp.any(
-            dirty & (want_of(exits) != entries))
+            dirty & (want_of(exits) != sync))
 
     def rep(st):
-        k, entries, counts, exits = st
+        k, entries, counts, exits, sync = st
         new_entries = want_of(exits)
         offs = jnp.full((L,), W, jnp.int32)
-        c2, e2 = scan_once(new_entries, offs)
-        return (k + 1, new_entries, c2, e2)
+        c2, e2, s2 = scan_once(new_entries, offs)
+        return (k + 1, new_entries, c2, e2, s2)
 
-    k, entries, counts, exits = jax.lax.while_loop(
-        cond, rep, (jnp.int32(0), entries0, counts0, exits0))
-    converged = ~jnp.any(dirty & (want_of(exits) != entries))
+    k, entries, counts, exits, sync = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), entries0, counts0, exits0, sync0))
+    converged = ~jnp.any(dirty & (want_of(exits) != sync))
     return counts.sum(dtype=jnp.int32), converged
 
 
