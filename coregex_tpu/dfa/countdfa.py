@@ -88,6 +88,48 @@ class CountDFA:
                 self.eoi_commits.nbytes + self.starts.nbytes +
                 self.classes.nbytes)
 
+    def minimized(self) -> "CountDFA":
+        """Mealy-machine minimization (Moore partition refinement):
+        states with identical observable behavior — emit row, EOI row,
+        and transitions into equal behavior classes — merge.  Exact:
+        every input sequence produces the same emission stream and EOI
+        commit.  Shrinks the device select trees beyond the syntactic
+        row/column dedup (ops/count_scan.py) because equivalent-but-not-
+        identical rows collapse too."""
+        S, C = self.delta.shape
+        # initial partition: (emit row, eoi row)
+        sig0 = {}
+        part = np.zeros(S, dtype=np.int64)
+        for s in range(S):
+            key = (tuple(self.emit[s]), tuple(self.eoi_commits[s]))
+            part[s] = sig0.setdefault(key, len(sig0))
+        while True:
+            sig = {}
+            new = np.zeros(S, dtype=np.int64)
+            for s in range(S):
+                key = (part[s],) + tuple(part[self.delta[s]])
+                new[s] = sig.setdefault(key, len(sig))
+            if len(sig) == len(set(part.tolist())):
+                part = new
+                break
+            part = new
+        R = len(set(part.tolist()))
+        if R == S:
+            return self
+        # canonical representative per block (first occurrence)
+        rep = np.full(R, -1, dtype=np.int64)
+        for s in range(S):
+            if rep[part[s]] < 0:
+                rep[part[s]] = s
+        delta = part[self.delta[rep]].astype(np.int32)
+        emit = self.emit[rep].copy()
+        eoi = self.eoi_commits[rep].copy()
+        starts = part[self.starts].astype(np.int32)
+        return CountDFA(delta=delta, emit=emit, eoi_commits=eoi,
+                        starts=starts, classes=self.classes.copy(),
+                        pattern=self.pattern, max_chain=self.max_chain,
+                        requires_width1=self.requires_width1)
+
 
 # Frames are run-length compressed: ((u_state, multiplicity), ...).  Equal
 # adjacent frames evolve identically forever, so a run commits

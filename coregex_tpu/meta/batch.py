@@ -409,6 +409,7 @@ class BatchEngine:
             return False
         if cd is None:
             return False
+        cd = cd.minimized()
         sc = CountScanner(cd)
         d = sc.dcd
         tree_ops = d.NB + d.NSEG + d.S + d.R * (d.Cp + 1)

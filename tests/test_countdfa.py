@@ -98,3 +98,39 @@ def test_product_sizes_stay_small():
                          (r".*keyword.*", 128)]:
         cd = _build(pattern)
         assert cd is not None and cd.num_states <= cap, pattern
+
+
+def test_minimized_equivalence():
+    """Mealy minimization preserves exact emission behavior (random
+    differential) and strictly shrinks typical tables."""
+    import numpy as np
+
+    from coregex_tpu.dfa.countdfa import (build_count_dfa,
+                                          build_count_dfa_nullable)
+    from coregex_tpu.dfa.determinize import determinize, determinize_py
+    from coregex_tpu.meta import literal as litmod
+    from coregex_tpu.nfa.thompson import compile_nfa
+    from coregex_tpu.syntax.parser import parse
+
+    rng = np.random.default_rng(9)
+    alphabet = np.frombuffer(b"abcdefxyz@.:/ 0123wr+-", dtype=np.uint8)
+    shrunk = 0
+    for pat in [r"[\w.+-]+@[\w.-]+\.[\w.-]+", r"(ab|cd)+x", r"a*b",
+                r"(x|yy)*z", r"[a-f]{2,5}9", r"foo|ba+r"]:
+        p = parse(pat)
+        nfa = compile_nfa(p, with_captures=False)
+        if litmod.is_nullable(p.ast):
+            u = determinize_py(nfa, anchored=False, break_at_match=True,
+                               track_empty=True)
+            cd = build_count_dfa_nullable(u)
+        else:
+            u = determinize(nfa, anchored=False, break_at_match=True)
+            cd = build_count_dfa(u)
+        assert cd is not None
+        m = cd.minimized()
+        assert m.num_states <= cd.num_states
+        shrunk += int(m.num_states < cd.num_states)
+        for _ in range(30):
+            data = rng.choice(alphabet, size=int(rng.integers(0, 100)))
+            assert cd.count_scan(data) == m.count_scan(data), pat
+    assert shrunk >= 4  # minimization does real work on these shapes
