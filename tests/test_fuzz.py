@@ -107,3 +107,54 @@ def test_fuzz_submatch_replace_split(seed):
             assert got_s == exp_s, (
                 f"seed={seed} it={it} split p={pat!r} t={text!r}: "
                 f"{got_s} vs {exp_s}")
+
+
+# extended grammar sweep: case-fold flag, counted repeats on groups,
+# multiline anchors, dot — shapes the base grammar omits (closer to the
+# reference's full fuzz seed list, fuzz_stdlib_test.go:31-108)
+FOLD_ATOMS = ["a", "B", "[a-d]", "[XY]", "foo", "Bar"]
+
+
+def gen_pattern_ext(rng: random.Random) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 4)):
+        r = rng.random()
+        if r < 0.15:
+            inner = rng.choice(ATOMS) + rng.choice(["", "+", "?"])
+            parts.append("(%s)%s" % (inner,
+                                     rng.choice(["{1,2}", "{2}", "{0,3}"])))
+        elif r < 0.25:
+            parts.append(rng.choice(["(?m)^", "(?m)$", "^", "$"])
+                         if not parts else rng.choice(["$", "(?m)$"]))
+        elif r < 0.4:
+            parts.append("(?i:%s)" % rng.choice(FOLD_ATOMS))
+        else:
+            parts.append(rng.choice(ATOMS) + rng.choice(QUANTS))
+    return "".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_extended_grammar(seed):
+    rng = random.Random(seed * 31337 + 5)
+    for it in range(20):
+        pat = gen_pattern_ext(rng)
+        try:
+            eng = Engine.compile(pat)
+            rx = compile_oracle(pat)
+        except Exception:
+            continue
+        for _ in range(8):
+            text = gen_text(rng)
+            if r"\B" in pat and text == b"":
+                continue
+            exp = oracle_search(rx, text)
+            got = eng.find_index(text)
+            assert got == exp, (
+                f"seed={seed} it={it} find p={pat!r} t={text!r}: "
+                f"{got} vs {exp}")
+            exp_all = go_all_matches(rx, text)
+            got_all = eng.find_all_index(text) or []
+            assert got_all == exp_all, (
+                f"seed={seed} it={it} findall p={pat!r} t={text!r}: "
+                f"{got_all} vs {exp_all}")
+            assert eng.count(text) == len(exp_all)
