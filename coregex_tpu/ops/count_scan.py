@@ -372,7 +372,10 @@ def _count_full(packed, packed_rc, bounds, starts_tbl, eoi, data_u8,
             c = classify(b)
             oh_s = (s[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (1, S), 1)).astype(jnp.float32)        # [L, S]
+            # HIGHEST precision: packed values exceed 256 and bf16
+            # matmul passes would round them (tests_tpu class bug)
             rows = jnp.dot(oh_s, packed_f,
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)    # [L, NSEG]
             oh_c = (c[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (1, NSEG), 1))                         # [L, NSEG]

@@ -74,3 +74,18 @@ def test_bitset_nfa_on_tpu():
     want = [m.span() for m in re.finditer(pat.encode(), data)]
     assert e.find_all_index(data) == want
     assert e.count(data) == len(want)
+
+
+def test_submatch_batch_on_tpu():
+    """Batched OnePass capture extraction over many spans (the
+    two-phase FindAllSubmatch path) on the real chip."""
+    pat = r"(\d+)\.(\d+)\.(\d+)\.(\d+)"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    data = CORPUS[: 8 << 20]
+    got = e.find_all_submatch_index(data)
+    want = [[m.span()] + [m.span(i) for i in range(1, 5)]
+            for m in re.finditer(pat.encode(), data)]
+    want = [[tuple(s) for s in row] for row in want]
+    assert got is not None and len(got) == len(want)
+    assert [list(map(tuple, g)) for g in got] == want
