@@ -168,10 +168,12 @@ def make_step(ddfa_shapes: Tuple[int, int], impl: str):
         delta, match_on, comb = tables
         oh_s = (s[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1)).astype(jnp.float32)           # [L, S]
-        # HIGHEST precision: bf16 matmul passes round integers > 256,
-        # corrupting state ids in larger automata (tests_tpu class bug)
-        rows = jnp.dot(oh_s, comb,
-                       precision=jax.lax.Precision.HIGHEST,
+        # bf16 matmul passes represent integers <= 256 exactly; larger
+        # automata need HIGHEST (f32) or state ids round (a real on-chip
+        # corruption caught by tests_tpu)
+        prec = (jax.lax.Precision.HIGHEST if S > 256
+                else jax.lax.Precision.DEFAULT)
+        rows = jnp.dot(oh_s, comb, precision=prec,
                        preferred_element_type=jnp.float32)       # [L, 2C]
         oh_c = (c[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, C), 1))                               # [L, C]
