@@ -36,6 +36,12 @@ def _rune_width_np(data: np.ndarray, pos: int) -> int:
     return go_rune_width(data, pos)
 
 
+# Sentinel distinct from None ("no match"): the device path is out of
+# scope / failed to converge and the caller must fall back to the host
+# engine.  Never test find_first results by truthiness.
+FALLBACK = object()
+
+
 def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
               data: np.ndarray, limit: int = -1) -> np.ndarray:
     """Non-overlapping leftmost-first selection with Go allMatches
@@ -705,13 +711,14 @@ class BatchEngine:
         return None if sp is None else len(sp)
 
     # -- single-match (Find / FindIndex, meta/find.go:29 analogue) --------
-    def find_first(self, data: np.ndarray) -> Optional[Tuple[int, int]]:
-        """Leftmost-first span on device, or None.  Strategy shortcuts for
-        the literal/class families; the general path is the bidirectional
-        two-pass core (dfa/search.py:83 find_span) run as a chunked
-        break-at-match forward scan with geometric prefix escalation +
-        a reverse anchored scan from the found end.  Returns False (host
-        fallback) when the chunk scan fails to converge."""
+    def find_first(self, data: np.ndarray):
+        """Leftmost-first span (start, end), None (no match), or the
+        FALLBACK sentinel (host fallback — device scan out of scope or
+        non-convergent).  Strategy shortcuts for the literal/class
+        families; the general path is the bidirectional two-pass core
+        (dfa/search.py:83 find_span) run as a chunked break-at-match
+        forward scan with geometric prefix escalation + a reverse
+        anchored scan from the found end."""
         import jax
         import jax.numpy as jnp
         from ..ops.bytescan import (_class_mask_from_table, _memmem_mask,
@@ -723,9 +730,18 @@ class BatchEngine:
         dev = device_corpus(data)
         strat = self.plan.strategy
         if strat == Strategy.LITERAL:
+            # chunked: first-match should touch O(prefix) HBM, not build
+            # a whole-corpus match mask for a hit at offset 100
             lit = self.plan.literals[0]
-            p = first_set_index(_memmem_mask(dev, tuple(lit)))
-            return None if p >= n else (p, p + len(lit))
+            k = len(lit)
+            CH = 1 << 24
+            for off in range(0, n, CH):
+                end = min(n, off + CH)
+                sl = dev[off:min(n, end + k - 1)]
+                p = first_set_index(_memmem_mask(sl, tuple(lit)))
+                if p < end - off:
+                    return (off + p, off + p + k)
+            return None
         if strat == Strategy.MULTI_LITERAL:
             lits = tuple(tuple(l) for l in self.plan.literals)
             # chunked: find_first should touch O(prefix), not build
@@ -749,7 +765,7 @@ class BatchEngine:
         if strat == Strategy.BITSET_NFA:
             sp = self._bitset_spans(dev, data, n, 1)
             if sp is None:
-                return False  # host fallback
+                return FALLBACK  # host fallback
             return None if len(sp) == 0 else (int(sp[0, 0]), int(sp[0, 1]))
         return self._find_first_dfa(dev, data, n)
 
@@ -786,7 +802,7 @@ class BatchEngine:
         while True:
             flags, exits, conv, (L, T) = sc.scan_device(dev[:c])
             if not bool(jax.device_get(conv)):
-                return False  # caller falls back to host
+                return FALLBACK  # caller falls back to host
             e = int(jax.device_get(flags_last(flags, c)))
             exit_c = sc._exit_at_n(dev[:c], exits, L, T, c)
             dead = exit_c == DEAD
@@ -802,7 +818,7 @@ class BatchEngine:
         starts = self._rev_start_flags(dev, data, n, np.array([e]),
                                        kind="rev_anch")
         if starts is None:
-            return False  # caller falls back to host
+            return FALLBACK  # caller falls back to host
         if len(starts) == 0:  # pragma: no cover - fwd/rev disagree
             return None
         return (int(starts.min()), e)

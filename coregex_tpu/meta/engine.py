@@ -236,9 +236,10 @@ class Engine:
         corpus-scale inputs (meta/find.go:29 dispatch breadth), host
         otherwise."""
         if not self.longest and self._use_batch(arr):
+            from .batch import FALLBACK
             with self._timed_scan(arr):
                 m = self.batch_engine().find_first(arr)
-            if m is not False:  # False == device scan non-convergence
+            if m is not FALLBACK:
                 return m
         return self._find_span_host(arr, 0)
 

@@ -117,6 +117,8 @@ def size_bucket(n: int) -> int:
     executable serves every corpus size in it — compiles through the
     remote compile service cost minutes each, and exactness is preserved
     by the per-lane `limits` masking."""
+    if n <= 0:
+        return 0
     if n <= 4096:
         step = max(64, (1 << (n.bit_length() - 1)) // 8)
         return -(-n // step) * step

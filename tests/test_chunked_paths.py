@@ -89,3 +89,30 @@ def test_window_lane_batching(monkeypatch):
     monkeypatch.setattr(WindowScanner, "MAX_LANES", 8)
     got = ws2.ends_for_starts(dev, starts)
     assert np.array_equal(base_ends, got)
+
+
+def test_literal_find_first_chunked(monkeypatch):
+    """find_first on a LITERAL pattern touches O(chunk) for an early hit:
+    every _memmem_mask call sees at most one chunk (+ overlap), and
+    chunks after the hit are never scanned (round-3 verdict item 9)."""
+    sizes = []
+    orig = bs._memmem_mask
+
+    def spy(dev, lit):
+        sizes.append(int(dev.shape[0]))
+        return orig(dev, lit)
+
+    monkeypatch.setattr(bs, "_memmem_mask", spy)
+    e = Engine.compile("needle")
+    be = e.batch_engine()
+    assert be.plan.strategy.value == "literal"
+    data = bytearray(b"x" * 200_000)
+    data[1000:1006] = b"needle"
+    data[150_000:150_006] = b"needle"
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    m = be.find_first(arr)
+    assert m == (1000, 1006)
+    # the spy saw only chunk-sized slices, not the whole corpus, and
+    # the early hit stopped the walk before the second needle
+    assert sizes and all(s <= (1 << 24) + 5 for s in sizes)
+    assert len(sizes) == 1

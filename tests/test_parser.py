@@ -109,6 +109,59 @@ class TestUnicodeScripts:
         out = e.find_all(data)
         assert out and out[0].decode() == "ΩΣ"
 
+    def test_short_script_names(self):
+        """1-2 char script names (Yi, Vai, Mro...) must fall through the
+        category table to the script tables (round-3 advisor finding)."""
+        from coregex_tpu.syntax.unicode_tables import lookup
+        for name in ("Yi", "Vai", "Mro", "Han", "Lao"):
+            r = lookup(name)
+            assert r, name
+        assert 0xA000 <= lookup("Yi")[0][0] <= 0xA48F
+        # categories still win the shared spellings
+        assert lookup("L") and lookup("Lu") and lookup("Nd")
+
+    def test_vendored_tables_complete(self):
+        """Every vendored alias resolves to a non-empty range set
+        (except Unknown/Zzzz which Go also treats as empty-ish)."""
+        from coregex_tpu.syntax._script_tables import (SCRIPT_ALIASES,
+                                                       SCRIPT_RANGES)
+        assert len(SCRIPT_RANGES) >= 170
+        empty = {i for i, rs in enumerate(SCRIPT_RANGES) if not rs}
+        assert len(empty) <= 1  # Unknown
+        for a, b in ((a, b) for rs in SCRIPT_RANGES for (a, b) in rs):
+            assert 0 <= a <= b <= 0x10FFFF
+            assert not (a <= 0xD800 <= b)  # no surrogates in ranges
+
+    def test_scripts_differential_vs_regex_module(self):
+        """Vendored ranges agree with the regex module's live Unicode
+        data (the generation source) for a sampled script set."""
+        regex = pytest.importorskip("regex")
+        from coregex_tpu.syntax.unicode_tables import lookup
+        for name in ("Old_Italic", "Greek", "Han", "Yi", "Tamil",
+                     "Canadian_Aboriginal", "Nyiakeng_Puachue_Hmong"):
+            rs = lookup(name)
+            assert rs, name
+            member = set()
+            for a, b in rs:
+                member.update(range(a, b + 1))
+            pat = regex.compile(r"\p{Script=%s}" % name.replace("_", ""))
+            import random
+            rnd = random.Random(1234)
+            samples = [rnd.randrange(0, 0xD800) for _ in range(2000)]
+            samples += [rnd.randrange(0xE000, 0x110000) for _ in range(2000)]
+            samples += [a for a, _ in rs[:50]] + [b for _, b in rs[:50]]
+            for cp in samples:
+                assert (cp in member) == bool(pat.match(chr(cp))), (
+                    name, hex(cp))
+
+    def test_script_case_sensitivity(self):
+        """Go rejects lowercase-led property names; so do we."""
+        from coregex_tpu.syntax.unicode_tables import lookup
+        assert lookup("latin") is None
+        assert lookup("yi") is None
+        with pytest.raises(ParseError):
+            parse(r"\p{latin}")
+
 
 def test_utf8_suffix_cache_dedup():
     """UTF-8 continuation chains are shared within a class (the

@@ -89,9 +89,10 @@ class TestFindFirstDevice:
         arr = np.frombuffer(text, dtype=np.uint8)
         want = _host(pat)._find_span_host(arr, 0)
         b = _batch(pat)
+        from coregex_tpu.meta.batch import FALLBACK
         m = b.batch_engine().find_first(arr) \
             if b.strategy != "host" else want
-        if m is False:
+        if m is FALLBACK:
             m = want
         assert m == want
         assert b.find_index(text) == want
