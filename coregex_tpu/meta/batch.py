@@ -223,6 +223,14 @@ class BatchEngine:
         self.stats = stats  # Engine.Stats for prefilter hit/miss counters
         self.host_find = host_find  # (arr, pos) -> span | None (PikeVM)
         self.plan: Plan = select(ast, dfas_ok)
+        if longest and self.plan.strategy in (Strategy.NULLABLE_CORE,
+                                              Strategy.ALL_EMPTY):
+            # the nullable factorization (dead-branch cut, greedy-chain
+            # argument) is leftmost-first only; POSIX longest keeps the
+            # exact host walk
+            self.plan = Plan(Strategy.HOST, "nullable (longest): host",
+                             nullable=True)
+        self._core_engine = None  # lazy sub-engine over plan.core_ast
         if longest and self.plan.strategy == Strategy.MULTI_LITERAL:
             # POSIX picks the longest alternative at a position, not the
             # first: reorder the literal priority by length (stable)
@@ -337,6 +345,11 @@ class BatchEngine:
             return self._full_scan_spans(dev, data, n, limit)
         if strat == Strategy.BITSET_NFA:
             return self._bitset_spans(dev, data, n, limit)  # None = host
+        if strat == Strategy.ALL_EMPTY:
+            from .nullable import all_empty_spans
+            return all_empty_spans(n, data, limit)
+        if strat == Strategy.NULLABLE_CORE:
+            return self._nullable_core_spans(data, n, limit)
         raise RuntimeError("host strategy should not reach BatchEngine")
 
     def _end_anchored_spans(self, data: np.ndarray, n: int) -> np.ndarray:
@@ -358,6 +371,9 @@ class BatchEngine:
         import jax
         n = len(data)
         strat = self.plan.strategy
+        if strat in (Strategy.NULLABLE_CORE, Strategy.ALL_EMPTY):
+            # decompose() guarantees an unconditional empty match
+            return True
         if strat == Strategy.END_ANCHORED:
             return len(self._end_anchored_spans(data, n)) > 0
         if strat == Strategy.BITSET_NFA:
@@ -630,6 +646,18 @@ class BatchEngine:
         strat = self.plan.strategy
         if strat == Strategy.END_ANCHORED:
             return len(self._end_anchored_spans(data, len(data)))
+        if strat in (Strategy.NULLABLE_CORE, Strategy.ALL_EMPTY):
+            # the nullable count transducer (Go empty-match rules baked
+            # in) is a single scan; the span path is the UTF-8-exact
+            # fallback.  NOTE: the generic scanners below must not run
+            # for nullable plans — their transducer advances one byte
+            # after an empty match (requires_width1) without the UTF-8
+            # corpus gate nullable_count applies.
+            c = self.nullable_count(data)
+            if c is not None:
+                return c
+            sp = self.find_all_spans(data)
+            return None if sp is None else len(sp)
         shc = self._sharded_counter()
         if shc:
             try:
@@ -767,6 +795,9 @@ class BatchEngine:
             if sp is None:
                 return FALLBACK  # host fallback
             return None if len(sp) == 0 else (int(sp[0, 0]), int(sp[0, 1]))
+        if strat in (Strategy.NULLABLE_CORE, Strategy.ALL_EMPTY):
+            # single leftmost match is O(match length) on host
+            return FALLBACK
         return self._find_first_dfa(dev, data, n)
 
     def _charclass_first(self, dev, n) -> Optional[Tuple[int, int]]:
@@ -1369,6 +1400,42 @@ class BatchEngine:
         except DFAOverflow:
             pass
         return self._spans_from_starts_host(data, n, starts, limit)
+
+    # .. nullable factorization (meta/nullable.py) ........................
+    def _core(self):
+        """Lazy sub-engine over the non-empty core projection; its own
+        strategy machinery (incl. artifact caches keyed by the derived
+        pattern) serves the core's FindAll."""
+        if self._core_engine is None:
+            from .engine import Engine
+            sub = Parsed(self.plan.core_ast, 0, [],
+                         self.parsed.pattern + "<core>")
+            self._core_engine = Engine(sub, longest=False)
+        return self._core_engine
+
+    def _nullable_core_spans(self, data, n, limit) -> np.ndarray:
+        """FindAll(R) = FindAll(core) + empty fill-in (Go allMatches
+        empty rules, /root/reference/meta/findall.go:176-283) — the core
+        rides its own device strategy; the fill is vectorized host work
+        proportional to the output."""
+        from .nullable import fill_empties
+        eng = self._core()
+        core = None
+        if n == 0:
+            core = np.empty((0, 2), dtype=np.int64)
+        try:
+            if core is None:
+                be = eng.batch_engine()
+                if be.plan.strategy != Strategy.HOST:
+                    core = be.find_all_spans(data, -1)
+        except DFAOverflow:  # pragma: no cover - core-specific overflow
+            core = None
+        if core is None:
+            # core device path out of scope: exact host walk over the
+            # (non-nullable) core, still O(#matches)
+            core = np.array(eng._all_spans(data),
+                            dtype=np.int64).reshape(-1, 2)
+        return fill_empties(np.asarray(core), n, data, limit)
 
     def _spans_from_starts_host(self, data, n, starts, limit
                                 ) -> Optional[np.ndarray]:

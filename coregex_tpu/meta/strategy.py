@@ -40,6 +40,8 @@ class Strategy(enum.Enum):
     END_ANCHORED = "end_anchored"
     FULL_SCAN = "full_scan"
     BITSET_NFA = "bitset_nfa"
+    NULLABLE_CORE = "nullable_core"  # non-empty core spans + empty fill
+    ALL_EMPTY = "all_empty"          # every match empty: boundary emission
     HOST = "host"
 
 
@@ -53,6 +55,7 @@ class Plan:
     prefix_run: Optional["litmod.PrefixRunShape"] = None
     prefix_lits: Optional[List[bytes]] = None
     nullable: bool = False
+    core_ast: Optional[Node] = None  # NULLABLE_CORE: non-empty projection
 
 
 def select(ast: Node, dfas_ok: bool) -> Plan:
@@ -86,9 +89,29 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
         return Plan(Strategy.HOST, "DFA overflow; PikeVM only",
                     nullable=nullable)
     if nullable:
-        # batch scans for nullable patterns degenerate (every position is a
-        # match start); the host engine handles them exactly
-        return Plan(Strategy.HOST, "nullable pattern", nullable=True)
+        # leftmost-first FindAll of a nullable pattern factorizes into
+        # FindAll(non-empty core) + vectorized empty fill-in whenever the
+        # empty match is unconditional and lowest-priority
+        # (meta/nullable.py) — the core rides the normal device
+        # strategies; everything else keeps the exact host walk
+        from .nullable import decompose_checked
+        d = decompose_checked(ast)
+        if d is None:
+            return Plan(Strategy.HOST, "nullable; no factorizable core",
+                        nullable=True)
+        if d.core is None:
+            return Plan(Strategy.ALL_EMPTY,
+                        "all matches empty; rune-boundary emission",
+                        nullable=True)
+        inner = select(d.core, dfas_ok)
+        if inner.strategy in (Strategy.HOST, Strategy.NULLABLE_CORE,
+                              Strategy.ALL_EMPTY):
+            return Plan(Strategy.HOST,
+                        f"nullable; core routes {inner.strategy.value}",
+                        nullable=True)
+        return Plan(Strategy.NULLABLE_CORE,
+                    f"nullable core [{inner.strategy.value}] + empty fill",
+                    nullable=True, core_ast=d.core)
     if litmod.has_start_anchor(ast):
         return Plan(Strategy.HOST, "start-anchored; host anchored scan",
                     nullable=nullable)

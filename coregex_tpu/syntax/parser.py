@@ -128,12 +128,11 @@ class _Parser:
             greedy = not greedy
         if self.more() and self.peek() in "*+?":
             raise self.error("invalid nested repetition operator")
-        # Repeat of a multi-rune literal applies to the last rune only.
-        if sub.op == Op.LITERAL and len(sub.runes) > 1:
-            last = lit(sub.runes[-1:])
-            terms[-1] = lit(sub.runes[:-1])
-            terms.append(last)
-            sub = last
+        # NOTE: no "last rune only" split here.  Bare `ab*` binds to 'b'
+        # naturally because literal chars stay separate terms until the
+        # end-of-concat coalesce; a multi-rune literal term can only come
+        # from a finished group (`(?:ab)*`), where the repeat applies to
+        # the whole group (Go regexp/syntax stack semantics).
         if isinstance(op, str):
             kind = {"*": Op.STAR, "+": Op.PLUS, "?": Op.QUEST}[op]
             terms[-1] = Node(kind, greedy=greedy, subs=(sub,))

@@ -179,3 +179,30 @@ def test_utf8_suffix_cache_dedup():
     ranges = sum(1 for s in nfa.states if s[0] == Kind.RANGE)
     assert ranges == 36, ranges
     assert len(nfa.states) <= 44, len(nfa.states)
+
+
+def test_group_quantifier_binds_whole_group():
+    """`(?:ab)*` quantifies the GROUP, not the trailing rune (Go stack
+    semantics; was mis-parsed as `ab*` before round 4)."""
+    from coregex_tpu.syntax.ast import Op
+    ast = parse(r"(?:ab)*").ast
+    assert ast.op == Op.STAR and ast.subs[0].runes == (97, 98)
+    ast = parse(r"(?:abc){2,5}").ast
+    assert ast.op == Op.REPEAT and ast.min == 2 and ast.max == 5
+    ast = parse(r"(?i:ab)+").ast
+    assert ast.op == Op.PLUS
+    # bare multi-char literal still binds the last rune only
+    ast = parse(r"ab*").ast
+    assert ast.op == Op.CONCAT and ast.subs[0].runes == (97,)
+    assert ast.subs[1].op == Op.STAR
+
+
+def test_group_quantifier_matching():
+    from coregex_tpu.meta.engine import Engine
+    e = Engine.compile(r"(?:ab)+")
+    e.batch_threshold = 1 << 60
+    assert e.find_all_index(b"ababab xab") == [(0, 6), (8, 10)]
+    e2 = Engine.compile(r"(?:ab)*")
+    e2.batch_threshold = 1 << 60
+    # Go: one "abab" match; empty at 4 rejected; empty at 5 accepted
+    assert e2.find_all_index(b"abab") == [(0, 4)]
