@@ -83,6 +83,14 @@ def _mask_nonzero(mask: jnp.ndarray, cap: int):
     if mask.ndim > 1:
         mask = mask.reshape(-1)
     n = int(mask.shape[0])
+    if jax.default_backend() == "tpu" and n >= (1 << 19):
+        # Mosaic stream-compaction kernel: MXU triangular-matmul cumsum
+        # + collision-free shift routing (ops/compact.py) — measured
+        # 31x over XLA scatter and ~1400x over the cumsum+searchsorted
+        # scheme on a 192M mask
+        from .compact import compact_positions
+        out, _ = compact_positions(mask, cap)
+        return out
     if n <= _NZ_DIRECT_LIMIT:
         return _mask_nonzero_direct(mask, cap)
     # the chunked scheme's [cap, C] row gather must stay modest — both
