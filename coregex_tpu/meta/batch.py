@@ -42,6 +42,11 @@ def _rune_width_np(data: np.ndarray, pos: int) -> int:
 FALLBACK = object()
 
 
+def _empty_spans_dev():
+    import jax.numpy as jnp
+    return jnp.zeros((16, 2), dtype=jnp.int32)
+
+
 def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
               data: np.ndarray, limit: int = -1) -> np.ndarray:
     """Non-overlapping leftmost-first selection with Go allMatches
@@ -323,6 +328,15 @@ class BatchEngine:
         """All non-overlapping spans with Go semantics; data is host uint8."""
         from ..utils.corpus_cache import device_corpus
         n = len(data)
+        if limit < 0:
+            r = self.find_all_spans_device(data)
+            if r is not None:
+                import jax
+                spans_dev, cnt = r
+                if cnt == 0:
+                    return np.empty((0, 2), dtype=np.int64)
+                return np.asarray(
+                    jax.device_get(spans_dev[:cnt])).astype(np.int64)
         dev = device_corpus(data)
         strat = self.plan.strategy
         if strat == Strategy.CHARCLASS:
@@ -351,6 +365,213 @@ class BatchEngine:
         if strat == Strategy.NULLABLE_CORE:
             return self._nullable_core_spans(data, n, limit)
         raise RuntimeError("host strategy should not reach BatchEngine")
+
+    # -- device-resident span assembly -----------------------------------
+    # Spans as [cap,2] int32 DEVICE arrays: built from aligned start/end
+    # mask pairs (ops/span_kernels.py) or device window verification,
+    # compacted by the Mosaic kernel, validated on device.  The host
+    # find_all_spans fetches from these when available; the bench times
+    # them directly (device-resident results + device checksums — the
+    # 30 MB/s axon host link is an artifact of this rig, not the TPU).
+    def find_all_spans_device(self, data: np.ndarray):
+        """(spans_dev [cap,2] int32, count int) or None (out of scope /
+        validation failed -> host pipelines)."""
+        import jax
+        from ..utils.corpus_cache import device_corpus
+        n = len(data)
+        if n == 0:
+            return None
+        strat = self.plan.strategy
+        builders = {
+            Strategy.CHARCLASS: self._charclass_spans_dev,
+            Strategy.LITERAL: self._literal_spans_dev,
+            Strategy.MULTI_LITERAL: self._multi_literal_spans_dev,
+            Strategy.LINE_SHAPE: self._line_shape_spans_dev,
+            Strategy.PREFIX_RUN: self._candidate_spans_dev,
+            Strategy.PREFIX_SET: self._candidate_spans_dev,
+        }
+        b = builders.get(strat)
+        if b is None:
+            return None
+        dev = device_corpus(data)
+        try:
+            return b(dev, n)
+        except DFAOverflow:
+            return None
+
+    def _literal_spans_dev(self, dev, n):
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_bucket, _memmem_mask, mask_count,
+                                    literal_self_overlaps)
+        from ..ops.compact import compact_positions
+        lit = self.plan.literals[0]
+        k = len(lit)
+        if literal_self_overlaps(lit):
+            return None  # overlap selection: host walk
+        smask = _memmem_mask(dev, tuple(lit))
+        cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
+        cap = _bucket(cnt, 16)
+        starts, _ = compact_positions(smask, cap)
+        live = jnp.arange(cap, dtype=jnp.int32) < cnt
+        ends = jnp.where(live, starts + k, starts)
+        return jnp.stack([starts, ends], axis=1), cnt
+
+    def _charclass_spans_dev(self, dev, n):
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_bucket, _class_mask_from_table,
+                                    _run_masks, mask_count)
+        from ..ops.compact import compact_positions
+        cc = self.plan.charclass
+        plain = cc.min == 1 and cc.max == -1 and not cc.plus
+        if not (plain or cc.plus):
+            return None  # general {m,k} chopping: host
+        mask = _class_mask_from_table(dev, np.array(cc.table, dtype=bool))
+        smask, emask = _run_masks(mask)
+        if cc.plus and cc.min > 1:
+            # drop runs shorter than min via AND-of-shifts on the member
+            # mask (no filtering pass): a valid start has m members
+            # ahead, a valid end has m members behind
+            m = cc.min
+            ok_fwd = mask
+            ok_bwd = mask
+            for j in range(1, m):
+                z = jnp.zeros(j, dtype=bool)
+                ok_fwd = ok_fwd & jnp.concatenate([mask[j:], z])
+                ok_bwd = ok_bwd & jnp.concatenate([z, mask[:-j]])
+            smask = smask & ok_fwd
+            emask = emask & ok_bwd
+        cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
+        cap = _bucket(cnt, 16)
+        starts, _ = compact_positions(smask, cap)
+        lasts, _ = compact_positions(emask, cap)
+        live = jnp.arange(cap, dtype=jnp.int32) < cnt
+        if plain:
+            ends = jnp.where(live, lasts + 1, starts)
+        else:
+            # ([c]{m,k})+ whole-run form: greedy k-chunks + remainder
+            # iff >= m (same arithmetic as the host path, vectorized)
+            L = lasts + 1 - starts
+            r = L % cc.max
+            M = L - jnp.where(r < cc.min, r, 0)
+            ends = jnp.where(live, starts + M, starts)
+        return jnp.stack([starts, ends], axis=1), cnt
+
+    def _multi_literal_spans_dev(self, dev, n):
+        import jax
+        from ..ops.bytescan import _bucket, mask_count
+        from ..ops.span_kernels import (multi_literal_span_masks,
+                                        spans_from_masks)
+        lits = tuple(tuple(l) for l in self.plan.literals)
+        smask, emask = multi_literal_span_masks(dev, lits)
+        cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
+        cap = _bucket(cnt, 16)
+        spans, cs, ok = spans_from_masks(smask, emask, cap)
+        if not bool(jax.device_get(ok)):
+            return None  # overlapping hits: host selection walk
+        return spans, cnt
+
+    def _line_shape_spans_dev(self, dev, n):
+        import jax
+        from ..ops.bytescan import _bucket, mask_count
+        from ..ops.span_kernels import line_span_masks, spans_from_masks
+        sp = self.plan.split
+        a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
+        if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
+            return None  # single-match shapes: host path is trivial
+        mode = ("first_to_eol" if a_is_empty
+                else "bol_to_last" if b_empty else "bol_to_eol")
+        smask, emask = line_span_masks(
+            dev, tuple(sp.lit),
+            tuple(sp.prefix_literal) if sp.line_anchored else (),
+            sp.line_anchored, mode)
+        cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
+        cap = _bucket(cnt, 16)
+        spans, cs, ok = spans_from_masks(smask, emask, cap)
+        if not bool(jax.device_get(ok)):
+            return None  # pragma: no cover - alignment invariant broken
+        return spans, cnt
+
+    # verified-candidate filtering gathers 2 int32 per candidate; past
+    # this count the gather cost exceeds the host pipeline's
+    _DEV_FILTER_LIMIT = 1 << 23
+
+    def _candidate_spans_dev(self, dev, n):
+        """PREFIX_RUN / PREFIX_SET: device candidate starts -> device
+        window verification -> device filter + non-overlap check."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_bucket, _memmem_mask, mask_count,
+                                    _multi_literal_scan)
+        from ..ops.compact import compact_positions
+        from ..ops.dfa_scan import WindowScanner
+        if self._pf_retired:
+            return None
+        if self.plan.strategy == Strategy.PREFIX_RUN:
+            smask, cnt_dev = self._prefix_run_candidates_mask(dev)
+            cnt = int(jax.device_get(cnt_dev))
+        else:
+            lits = tuple(tuple(l) for l in self.plan.prefix_lits)
+            smask = None
+            for lit in lits:
+                m = _memmem_mask(dev, lit)
+                smask = m if smask is None else (smask | m)
+            cnt = int(jax.device_get(mask_count(smask)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
+        if cnt > self._DEV_FILTER_LIMIT:
+            return None
+        cap = _bucket(cnt, 16)
+        starts, _ = compact_positions(smask, cap)
+        starts = jnp.minimum(starts, n).astype(jnp.int32)
+        ws = WindowScanner(self._dense(self._verify_kind()), init_window=64)
+        ends = ws.ends_for_starts_device(dev, starts, cnt)
+        live = jnp.arange(cap, dtype=jnp.int32) < cnt
+        keep = live & (ends >= 0)
+        kept = int(jax.device_get(keep.sum(dtype=jnp.int32)))
+        self._note_prefilter_counts(kept, cnt)
+        if kept == 0:
+            return _empty_spans_dev(), 0
+        kcap = _bucket(kept, 16)
+        from ..ops.bytescan import _mask_nonzero
+        sel = jnp.minimum(_mask_nonzero(keep, kcap), cap - 1)
+        fs = jnp.take(starts, sel)
+        fe = jnp.take(ends, sel)
+        klive = jnp.arange(kcap, dtype=jnp.int32) < kept
+        # Go non-overlap selection must be the identity: strictly
+        # increasing, non-overlapping verified matches
+        nxt = jnp.concatenate([fs[1:], jnp.full(1, 2**31 - 1, jnp.int32)])
+        ok = jnp.all(jnp.where(klive, fs < fe, True))
+        ok &= jnp.all(jnp.where(
+            jnp.arange(kcap, dtype=jnp.int32) < kept - 1, fe <= nxt, True))
+        if not bool(jax.device_get(ok)):
+            return None  # overlap: host go_select walk
+        fe = jnp.where(klive, fe, fs)
+        return jnp.stack([fs, fe], axis=1), kept
+
+    def _note_prefilter_counts(self, hits: int, seen: int) -> None:
+        """Counter-only twin of _note_prefilter (device paths sync the
+        counts, not the keep mask)."""
+        self._pf_hits += hits
+        self._pf_seen += seen
+        if self.stats is not None:
+            self.stats.prefilter_hits += hits
+            self.stats.prefilter_misses += seen - hits
+        if (self._pf_seen >= self.PF_MIN_SAMPLES
+                and self._pf_hits < self._pf_seen * self.PF_MIN_RATIO):
+            from .config import debug
+            debug(1, f"prefilter retired: {self._pf_hits}/{self._pf_seen} "
+                     "confirm ratio below threshold")
+            self._pf_retired = True
 
     def _end_anchored_spans(self, data: np.ndarray, n: int) -> np.ndarray:
         """End-anchored (`$`/`\\z`) patterns have at most one match, ending

@@ -1,0 +1,117 @@
+"""Device-resident span assembly (find_all_spans_device): aligned
+start/end mask pairs + Mosaic compaction, validated against the host
+engine's exact Go walk."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from coregex_tpu.meta.engine import Engine
+
+
+def _base(size=250_000):
+    sys.path.insert(0, ".")
+    from bench import build_base
+    return build_base(size)
+
+
+BASE = _base()
+ARR = np.frombuffer(BASE, dtype=np.uint8)
+
+DEVICE_CASES = [
+    r"\w+", r"(\w{2,8})+", r"error", r"keyword",
+    r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH",
+    r"error|warning|notice|info|debug",
+    r".*keyword.*", r".*\.txt", r"(?m)^/.*\.php",
+    r"\d+\.\d+\.\d+\.\d+",
+]
+
+
+@pytest.mark.parametrize("pat", DEVICE_CASES)
+def test_device_spans_match_host(pat):
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    h = Engine.compile(pat)
+    h.batch_threshold = 1 << 60
+    be = e.batch_engine()
+    r = be.find_all_spans_device(ARR)
+    want = h._all_spans(ARR)
+    assert r is not None, (pat, be.plan.strategy)
+    spans_dev, cnt = r
+    got = [(int(a), int(b))
+           for a, b in np.asarray(jax.device_get(spans_dev[:cnt]))]
+    assert got == want, (pat, len(got), len(want))
+
+
+@pytest.mark.parametrize("pat", DEVICE_CASES)
+def test_host_api_routes_through_device(pat):
+    """find_all_spans (host API) must return identical spans whether it
+    fetched from the device assembly or walked the legacy pipeline."""
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    h = Engine.compile(pat)
+    h.batch_threshold = 1 << 60
+    got = e._all_spans(ARR)
+    assert got == h._all_spans(ARR), pat
+
+
+def test_overlapping_candidates_fall_back_exactly():
+    """Patterns whose verified candidates overlap (version-style on
+    10x20x30 tokens) must detect it on device and fall back to the host
+    selection walk with exact results."""
+    pat = r"\d+.\d+.\d+"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    h = Engine.compile(pat)
+    h.batch_threshold = 1 << 60
+    assert e._all_spans(ARR) == h._all_spans(ARR)
+
+
+def test_self_overlapping_literal_falls_back():
+    data = b"aaaa baba aa" * 2000
+    arr = np.frombuffer(data, dtype=np.uint8)
+    e = Engine.compile("aa")
+    e.batch_threshold = 0
+    be = e.batch_engine()
+    assert be.find_all_spans_device(arr) is None
+    h = Engine.compile("aa")
+    h.batch_threshold = 1 << 60
+    assert e._all_spans(arr) == h._all_spans(arr)
+
+
+def test_line_shape_eot_line():
+    """A final line without trailing newline still terminates at EOT."""
+    data = b"x.txt\nother\nlast.txt"
+    arr = np.frombuffer(data, dtype=np.uint8)
+    e = Engine.compile(r".*\.txt")
+    e.batch_threshold = 0
+    be = e.batch_engine()
+    r = be.find_all_spans_device(arr)
+    # tiny corpora may route anywhere; the host API must stay exact
+    h = Engine.compile(r".*\.txt")
+    h.batch_threshold = 1 << 60
+    assert e._all_spans(arr) == h._all_spans(arr) == [(0, 5), (12, 20)]
+    del r
+
+
+def test_fuzz_line_shapes_vs_host():
+    rng = np.random.default_rng(41)
+    words = [b"foo.txt", b"a.php", b"keyword", b"zz", b"/idx.php",
+             b".txt", b"php"]
+    for trial in range(6):
+        lines = []
+        for _ in range(200):
+            k = int(rng.integers(0, 5))
+            lines.append(b" ".join(
+                words[int(rng.integers(len(words)))] for _ in range(k)))
+        data = b"\n".join(lines) + (b"\n" if trial % 2 else b"")
+        arr = np.frombuffer(data, dtype=np.uint8)
+        for pat in (r".*\.txt", r"(?m)^/.*\.php", r".*keyword.*"):
+            e = Engine.compile(pat)
+            e.batch_threshold = 0
+            h = Engine.compile(pat)
+            h.batch_threshold = 1 << 60
+            assert e._all_spans(arr) == h._all_spans(arr), (trial, pat)

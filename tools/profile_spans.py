@@ -50,18 +50,38 @@ def main():
             tw = time.perf_counter() - t0
             t0 = time.perf_counter(); eng.count(arr)
             tc = time.perf_counter() - t0
+            import jax.numpy as jnp
+
+            def dev_spans():
+                r = be.find_all_spans_device(arr)
+                if r is None:
+                    return None
+                sd, cnt = r
+                # force + checksum in one tiny sync
+                s = int(jax.device_get(
+                    (sd[:, 0].astype(jnp.uint32).sum()
+                     + sd[:, 1].astype(jnp.uint32).sum())))
+                return cnt, s
+
             t0 = time.perf_counter()
-            sp = be.find_all_spans(arr, -1)
-            ts_w = time.perf_counter() - t0
+            rd = dev_spans()
+            td_w = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rd = dev_spans()
+            td = time.perf_counter() - t0
+            md = rd[0] if rd else -1
+            devmsg = (f"dev {td*1e3:9.1f} ms ({n/td/1e9:6.2f} GB/s) md={md}"
+                      if rd else "dev None")
             t0 = time.perf_counter()
             sp = be.find_all_spans(arr, -1)
             ts = time.perf_counter() - t0
             m = 0 if sp is None else len(sp)
-            ok = (m == c)
-            print(f"{name:16} count {tc*1e3:8.1f} ms ({n/tc/1e9:6.2f} GB/s)"
-                  f"  spans {ts*1e3:9.1f} ms ({n/ts/1e9:6.2f} GB/s)"
-                  f"  m={m} {'ok' if ok else 'COUNT!=' + str(c)}"
-                  f"  [{eng.strategy}] warm c={tw:.1f}s s={ts_w:.1f}s",
+            ok = (m == c) and (md in (-1, c))
+            print(f"{name:16} count {tc*1e3:7.1f} ms ({n/tc/1e9:5.2f} GB/s)"
+                  f"  {devmsg}"
+                  f"  host {ts*1e3:9.1f} ms"
+                  f"  m={m} {'ok' if ok else 'COUNT MISMATCH ' + str(c)}"
+                  f"  [{eng.strategy}] warm c={tw:.1f}s d={td_w:.1f}s",
                   flush=True)
         except Exception as ex:
             print(f"{name:16} FAILED {type(ex).__name__}: {str(ex)[:180]}",
