@@ -136,8 +136,9 @@ def _line_count_kernel_factory():
         valid = cand & (idxs + k <= next_nl)
         if line_anchored and len(prefix):
             prefix_at = _memmem_mask(data, prefix)
-            is_ls = (idxs == 0) | (data[jnp.maximum(idxs - 1, 0)]
-                                   == np.uint8(10))
+            prev_byte = jnp.concatenate(
+                [jnp.zeros(1, dtype=data.dtype), data[:-1]])
+            is_ls = (idxs == 0) | (prev_byte == np.uint8(10))
             lg = jax.lax.cummax(jnp.where(is_ls & prefix_at, idxs, -1))
             line_good = lg == (prev_nl + 1)
             valid = valid & line_good & (idxs >= prev_nl + 1 + len(prefix))
@@ -547,14 +548,30 @@ class BatchEngine:
         fs = jnp.take(starts, sel)
         fe = jnp.take(ends, sel)
         klive = jnp.arange(kcap, dtype=jnp.int32) < kept
-        # Go non-overlap selection must be the identity: strictly
-        # increasing, non-overlapping verified matches
+        if not bool(jax.device_get(jnp.all(jnp.where(klive, fs < fe,
+                                                     True)))):
+            return None  # pragma: no cover - verifier contract broken
         nxt = jnp.concatenate([fs[1:], jnp.full(1, 2**31 - 1, jnp.int32)])
-        ok = jnp.all(jnp.where(klive, fs < fe, True))
-        ok &= jnp.all(jnp.where(
-            jnp.arange(kcap, dtype=jnp.int32) < kept - 1, fe <= nxt, True))
-        if not bool(jax.device_get(ok)):
-            return None  # overlap: host go_select walk
+        overlap = jnp.any(jnp.where(
+            jnp.arange(kcap, dtype=jnp.int32) < kept - 1, fe > nxt, False))
+        if bool(jax.device_get(overlap)):
+            # overlapping verified matches (version-style chains): exact
+            # Go selection via the device fixed point
+            from ..ops.span_kernels import go_select_device
+            selm, ok = go_select_device(fs, fe, kept, kcap)
+            if not ok:
+                return None  # not converged: host go_select walk
+            nsel = int(jax.device_get((selm & klive)
+                                      .sum(dtype=jnp.int32)))
+            if nsel == 0:
+                return _empty_spans_dev(), 0
+            scap = _bucket(nsel, 16)
+            idx = jnp.minimum(_mask_nonzero(selm & klive, scap), kcap - 1)
+            fs = jnp.take(fs, idx)
+            fe = jnp.take(fe, idx)
+            slive = jnp.arange(scap, dtype=jnp.int32) < nsel
+            fe = jnp.where(slive, fe, fs)
+            return jnp.stack([fs, fe], axis=1), nsel
         fe = jnp.where(klive, fe, fs)
         return jnp.stack([fs, fe], axis=1), kept
 

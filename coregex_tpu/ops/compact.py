@@ -60,7 +60,7 @@ def _roll_rowmajor(x, s):
     if s_lane == 0:
         return rollr(x, s_row)
     a = jnp.roll(rollr(x, s_row), -s_lane, axis=1)
-    b = jnp.roll(rollr(x, s_row + 1), -s_lane, axis=1)
+    b = jnp.roll(a, -1, axis=0)  # lane/row rolls commute: one copy
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(lane < 128 - s_lane, a, b)
 

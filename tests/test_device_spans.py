@@ -115,3 +115,47 @@ def test_fuzz_line_shapes_vs_host():
             h = Engine.compile(pat)
             h.batch_threshold = 1 << 60
             assert e._all_spans(arr) == h._all_spans(arr), (trial, pat)
+
+
+def test_go_select_device_fuzz():
+    """Device fixed-point selection == host greedy walk on adversarial
+    overlap chains (kill/revive alternations)."""
+    import jax.numpy as jnp
+    from coregex_tpu.meta.batch import go_select
+    from coregex_tpu.ops.span_kernels import go_select_device
+    rng = np.random.default_rng(77)
+    for t in range(120):
+        M = int(rng.integers(1, 60))
+        starts = np.sort(
+            rng.choice(2000, size=M, replace=False)).astype(np.int32)
+        ends = (starts + rng.integers(1, 40, size=M)).astype(np.int32)
+        cap = 64
+        fs = np.full(cap, 2**31 - 1, np.int32)
+        fs[:M] = starts
+        fe = np.zeros(cap, np.int32)
+        fe[:M] = ends
+        sel, ok = go_select_device(jnp.asarray(fs), jnp.asarray(fe),
+                                   M, cap)
+        assert ok, t
+        selm = np.asarray(jax.device_get(sel))[:M]
+        got = np.stack([starts[selm], ends[selm]], axis=1)
+        want = go_select(starts.astype(np.int64), ends.astype(np.int64),
+                         3000, np.zeros(3000, np.uint8))
+        assert np.array_equal(got, want), t
+
+
+def test_version_pattern_device_path():
+    """Overlapping verified candidates (10x20x30 chains) now resolve on
+    device through the fixed-point selection."""
+    pat = r"\d+.\d+.\d+"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    h = Engine.compile(pat)
+    h.batch_threshold = 1 << 60
+    be = e.batch_engine()
+    r = be.find_all_spans_device(ARR)
+    assert r is not None
+    sd, cnt = r
+    got = [(int(a), int(b))
+           for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+    assert got == h._all_spans(ARR)
