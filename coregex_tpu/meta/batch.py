@@ -298,6 +298,16 @@ class BatchEngine:
         elif kind == "fwd_anch_all":
             nfa = compile_nfa(self.parsed, with_captures=False)
             d = determinize(nfa, anchored=True, break_at_match=False)
+        elif kind in ("fwd_suffix", "fwd_suffix_all"):
+            # anchored DFA of the inner split's SUFFIX ast: the suffix
+            # extent engine for the reset-scan (leftmost-first uses
+            # break-at-match "last flag before death"; POSIX longest
+            # keeps all flags)
+            sub = Parsed(self.plan.split.suffix_ast, 0, [],
+                         self.parsed.pattern + "<suffix>")
+            nfa = compile_nfa(sub, with_captures=False)
+            d = determinize(nfa, anchored=True,
+                            break_at_match=(kind == "fwd_suffix"))
         elif kind == "rev_prefix":
             # reverse DFA of (A · lit) for inner-candidate start discovery
             sub = Parsed(self.plan.split.prefix_ast, 0, [],
@@ -390,6 +400,7 @@ class BatchEngine:
             Strategy.LINE_SHAPE: self._line_shape_spans_dev,
             Strategy.PREFIX_RUN: self._candidate_spans_dev,
             Strategy.PREFIX_SET: self._candidate_spans_dev,
+            Strategy.INNER: self._inner_spans_dev,
         }
         b = builders.get(strat)
         if b is None:
@@ -502,9 +513,361 @@ class BatchEngine:
             return None  # pragma: no cover - alignment invariant broken
         return spans, cnt
 
+    @staticmethod
+    def _class_run_prefix(prefix_ast, lit: bytes):
+        """(table[256], m, M) when prefix_ast is [class]{m,M}-ish · lit
+        with m >= 1 and lit[0] outside the class — the shape whose viable
+        match starts form the member run abutting each lit occurrence
+        (every suffix of the run of length in [m, M] is a start).  None
+        otherwise."""
+        from ..syntax.ast import Op
+        node = litmod._uncap(prefix_ast)
+        if node.op != Op.CONCAT or len(node.subs) != 2:
+            return None
+        rep, tail = litmod._uncap(node.subs[0]), node.subs[1]
+        if tail.op != Op.LITERAL or bytes(
+                bytearray(tail.runes)) != lit:
+            return None
+        if rep.op == Op.PLUS and rep.greedy:
+            m, M = 1, -1
+        elif rep.op == Op.REPEAT and rep.greedy and rep.min >= 1:
+            m, M = rep.min, rep.max
+        else:
+            return None
+        if m > 16:
+            return None
+        t = litmod.ascii_class_table(litmod._uncap(rep.subs[0]))
+        if t is None or t[lit[0]]:
+            return None
+        return np.array(t, dtype=bool), m, M
+
+    def _inner_spans_dev(self, dev, n):
+        """INNER family with a class-run prefix (email/url shapes): one
+        contiguous suffix reset-scan + pure mask algebra replaces the
+        per-candidate window scans.
+
+        starts: every suffix of the member run abutting a verified lit
+        occurrence is a viable start, so a candidate is the triple
+        (leftmost start, latest start, fixed end) and Go's walk is the
+        flexible fixed point (ops/span_kernels.py:go_select_flex).
+        ends: suffix extents from the reset-scan's last-flag-in-interval
+        mask.  Alignment comes from three mask compactions (run starts /
+        verified lits / interval ends are 1:1 in position order)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_bucket, _class_mask_from_table,
+                                    _memmem_mask, mask_count)
+        from ..ops.compact import compact_positions
+        from ..ops.dfa_scan import ResetScanner
+        from ..ops.span_kernels import go_select_flex
+        from ..syntax.ast import Op
+        if self._pf_retired:
+            return None
+        sp = self.plan.split
+        if len(sp.lits) != 1:
+            return None
+        shape = self._class_run_prefix(sp.prefix_ast, sp.lit)
+        if shape is None:
+            return None
+        table, m, M = shape
+        lit, k = sp.lit, len(sp.lit)
+        b_empty = sp.suffix_ast.op == Op.EMPTY
+        if not b_empty and litmod.is_nullable(sp.suffix_ast):
+            return None
+        INF = jnp.int32(n)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        member = _class_mask_from_table(dev, table)
+        hit = _memmem_mask(dev, tuple(lit))
+        # prefix min-length gate: m members immediately before the lit
+        valid_c = hit
+        for j in range(1, m + 1):
+            shifted = jnp.concatenate(
+                [jnp.zeros(j, dtype=bool), member[:-j]])
+            valid_c = valid_c & shifted
+
+        if b_empty:
+            verified = valid_c
+            endmask = None
+        else:
+            kind = "fwd_suffix" if not self.longest else \
+                "fwd_suffix_all"
+            try:
+                sfx = ResetScanner(self._dense(kind))
+            except ValueError:
+                return None  # > 32 byte-segments: aux packing gate
+            rmask = jnp.concatenate(
+                [jnp.zeros(k, dtype=bool), valid_c[:-k]]) \
+                if k < n else jnp.zeros(n, dtype=bool)
+            flags, exits, conv, interf, (L, T) = sfx.scan_device(
+                dev, rmask)
+            if not bool(jax.device_get(conv)) or bool(
+                    jax.device_get(interf)):
+                return None  # nested candidates / non-convergence
+            flag = flags.reshape(-1)[:n]
+            # a suffix surviving to EOI ends at n — invisible to the
+            # in-array flags (only the final interval can do this;
+            # earlier ones would trip the interference check)
+            eoi_end = self._suffix_eoi_end(dev, n, rmask)
+            if eoi_end == -1:
+                return None  # EOI status undecidable cheaply: host
+            # next reset / next flag STRICTLY after p
+            rpos = jnp.where(rmask, iota, INF)
+            fpos = jnp.where(flag, iota, INF)
+            nr_in = jax.lax.cummin(rpos[::-1])[::-1]
+            nf_in = jax.lax.cummin(fpos[::-1])[::-1]
+            nr_ex = jnp.concatenate([nr_in[1:], jnp.full(1, n, jnp.int32)])
+            nf_ex = jnp.concatenate([nf_in[1:], jnp.full(1, n, jnp.int32)])
+            # ends live in [n+1]: an interval's last flag, or n for the
+            # EOI-surviving final interval (supersedes earlier flags —
+            # last flag before death)
+            endmask = flag & (nf_ex >= nr_ex)
+            has = rmask & (nf_ex < nr_ex)  # interval holds >= 1 flag
+            endmask = jnp.concatenate(
+                [endmask, jnp.zeros(1, dtype=bool)])
+            if eoi_end is not None:
+                last_r = int(jax.device_get(jnp.max(
+                    jnp.where(rmask, iota, -1))))
+                if last_r >= 0:
+                    # the final interval ends at n; drop its in-array
+                    # last-flag bit (if any) in favor of the EOI end
+                    in_final = jnp.arange(n, dtype=jnp.int32) >= last_r
+                    endmask = endmask.at[:n].set(
+                        endmask[:n] & ~in_final)
+                    endmask = endmask.at[n].set(True)
+                    has = has.at[last_r].set(True)
+            verified = valid_c & jnp.concatenate(
+                [has[k:], jnp.zeros(k, dtype=bool)])
+        cnt = int(jax.device_get(mask_count(verified)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
+        # run starts abutting a verified candidate: next-nonmember ==
+        # next-verified-candidate (lit[0] is a nonmember by the gate)
+        nonmember = ~member
+        nm_in = jax.lax.cummin(
+            jnp.where(nonmember, iota, INF)[::-1])[::-1]
+        vc_in = jax.lax.cummin(
+            jnp.where(verified, iota, INF)[::-1])[::-1]
+        canbit = (nm_in == vc_in) & (vc_in < n)
+        prevm = jnp.concatenate([jnp.zeros(1, dtype=bool), member[:-1]])
+        rs_mask = member & ~prevm & canbit
+        cap = _bucket(cnt, 16)
+        c_pos, cc = compact_positions(verified, cap)
+        s_pos, cs = compact_positions(rs_mask, cap)
+        okc = bool(jax.device_get(cs == cc))
+        if endmask is not None:
+            e_pos, ce = compact_positions(endmask, cap)
+            okc &= bool(jax.device_get(ce == cc))
+        if not okc:  # pragma: no cover - alignment invariant broken
+            return None
+        live = jnp.arange(cap, dtype=jnp.int32) < cnt
+        if endmask is None:
+            ends = jnp.where(live, c_pos + k, c_pos)
+        else:
+            ends = jnp.where(live, e_pos, c_pos + 1)
+        smin = s_pos if M == -1 else jnp.maximum(s_pos, c_pos - M)
+        smax = c_pos - m
+        sel, ok, starts = go_select_flex(smin, smax, ends, cnt, cap)
+        if not ok:
+            return None
+        nsel = int(jax.device_get((sel & live).sum(dtype=jnp.int32)))
+        if nsel == 0:
+            return _empty_spans_dev(), 0
+        scap = _bucket(nsel, 16)
+        from ..ops.bytescan import _mask_nonzero
+        idx = jnp.minimum(_mask_nonzero(sel & live, scap), cap - 1)
+        fs = jnp.take(starts, idx)
+        fe = jnp.take(ends, idx)
+        slive = jnp.arange(scap, dtype=jnp.int32) < nsel
+        fe = jnp.where(slive, fe, fs)
+        fs = jnp.where(slive, fs, jnp.int32(n))
+        return jnp.stack([fs, fe], axis=1), nsel
+
+    def _suffix_eoi_end(self, dev, n, rmask):
+        """End-at-EOI for the final suffix interval: replay the tail
+        from the last lane boundary on host (mirrors
+        ChunkScanner._exit_at_n, with resets)."""
+        import jax
+        from ..dfa.dense import CTX_SOT, DEAD
+        d = self._host_dense.get(
+            "fwd_suffix" if not self.longest else "fwd_suffix_all")
+        if d is None:
+            return None
+        # host replay from the last reset position (its interval is the
+        # only one that can reach EOI)
+        from ..ops.bytescan import mask_count
+        import jax.numpy as jnp
+        last_r = int(jax.device_get(
+            jnp.max(jnp.where(rmask, jnp.arange(n, dtype=jnp.int32),
+                              -1))))
+        if last_r < 0:
+            return None
+        if n - last_r > (1 << 20):
+            # replay lazily in 64 KB slices: the run usually dies fast;
+            # a genuinely megabyte-long live suffix tail is undecidable
+            # cheaply and bounces the whole path to the host
+            return self._suffix_eoi_walk_long(dev, n, last_r)
+        tail = np.asarray(jax.device_get(dev[last_r:n]))
+        s = int(d.starts[CTX_SOT])
+        # anchored start context: byte before last_r
+        if last_r > 0:
+            from ..nfa.nfa import WORD_BYTES
+            from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_WORD
+            pb = int(jax.device_get(dev[last_r - 1]))
+            ctx = (CTX_WORD if WORD_BYTES[pb]
+                   else (CTX_NL if pb == 10 else CTX_OTHER))
+            s = int(d.starts[ctx])
+        for b in tail:
+            s = int(d.delta[s, int(d.classes[b])])
+            if s == DEAD:
+                return None
+        return n if d.match_eoi[s, CTX_SOT] else None
+
+    def _suffix_eoi_walk_long(self, dev, n, last_r):
+        import jax
+        from ..dfa.dense import CTX_SOT, DEAD
+        from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_WORD
+        from ..nfa.nfa import WORD_BYTES
+        d = self._host_dense.get(
+            "fwd_suffix" if not self.longest else "fwd_suffix_all")
+        s = int(d.starts[CTX_SOT])
+        if last_r > 0:
+            pb = int(jax.device_get(dev[last_r - 1]))
+            ctx = (CTX_WORD if WORD_BYTES[pb]
+                   else (CTX_NL if pb == 10 else CTX_OTHER))
+            s = int(d.starts[ctx])
+        pos = last_r
+        budget = 1 << 20
+        while pos < n:
+            if pos - last_r >= budget:
+                return -1  # megabyte-long live suffix run: host path
+            chunk = np.asarray(jax.device_get(
+                dev[pos:min(n, pos + (1 << 16))]))
+            for b in chunk:
+                s = int(d.delta[s, int(d.classes[b])])
+                if s == DEAD:
+                    return None
+            pos += len(chunk)
+        return n if d.match_eoi[s, CTX_SOT] else None
+
     # verified-candidate filtering gathers 2 int32 per candidate; past
     # this count the gather cost exceeds the host pipeline's
     _DEV_FILTER_LIMIT = 1 << 23
+
+    def _interleaved_ends(self, dev, n, smask, cnt, cap):
+        """Verified (starts, ends, kept) for candidate starts, via K
+        interleaved reset-scans: subset j resets at every K-th candidate,
+        so each candidate's anchored run gets ~K candidate-spacings of
+        room — contiguous passes instead of per-candidate window GATHERS
+        (~70 ns/byte on TPU).  A run still alive at its subset's next
+        reset (match longer than the room) trips the interference flag
+        and K escalates; exact or None.  Candidates whose run never
+        flags are dropped here — Go's walk skips failing candidates, so
+        selection over verified pairs alone is exact."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import _bucket
+        from ..ops.compact import compact_positions
+        from ..ops.dfa_scan import ResetScanner
+        iota = jnp.arange(n, dtype=jnp.int32)
+        INF = jnp.int32(n)
+        try:
+            sc = ResetScanner(self._dense(self._verify_kind()))
+        except ValueError:
+            return None  # > 32 byte-segments: aux packing gate
+        rank = jnp.cumsum(smask.astype(jnp.int32))  # 1-based at cands
+        for K in (4, 16):
+            parts = []
+            ok = True
+            scap = _bucket(-(-cnt // K), 16)
+            for j in range(K):
+                sub = smask & ((rank - 1) % K == j)
+                flags, exits, conv, interf, (L, T) = sc.scan_device(
+                    dev, sub)
+                if not bool(jax.device_get(conv)):
+                    return None
+                if bool(jax.device_get(interf)):
+                    ok = False
+                    break
+                flag = flags.reshape(-1)[:n]
+                rpos = jnp.where(sub, iota, INF)
+                fpos = jnp.where(flag, iota, INF)
+                nr_ex = jnp.concatenate(
+                    [jax.lax.cummin(rpos[::-1])[::-1][1:],
+                     jnp.full(1, n, jnp.int32)])
+                nf_ex = jnp.concatenate(
+                    [jax.lax.cummin(fpos[::-1])[::-1][1:],
+                     jnp.full(1, n, jnp.int32)])
+                endm = flag & (nf_ex >= nr_ex)  # last flag per interval
+                has = sub & (nf_ex < nr_ex)     # verified candidates
+                s_j, cs = compact_positions(has, scap)
+                e_j, ce = compact_positions(endm, scap)
+                if not bool(jax.device_get((cs == ce) & (cs <= scap))):
+                    return None  # pragma: no cover - alignment broken
+                csn = int(jax.device_get(cs))
+                # this subset's LAST candidate has no same-subset reset
+                # after it: its run can survive to EOI and accept there
+                # (end n supersedes any in-array flag — last flag before
+                # death)
+                lastc = int(jax.device_get(jnp.max(
+                    jnp.where(sub, iota, -1))))
+                eoi = (self._eoi_accepts_from(dev, n, lastc)
+                       if lastc >= 0 else False)
+                if eoi is None:
+                    return None  # undecidable cheaply: host path
+                if eoi:
+                    if csn and int(jax.device_get(
+                            s_j[csn - 1])) == lastc:
+                        e_j = e_j.at[csn - 1].set(jnp.int32(n))
+                    elif csn < scap:
+                        s_j = s_j.at[csn].set(jnp.int32(lastc))
+                        e_j = e_j.at[csn].set(jnp.int32(n))
+                        csn += 1
+                    else:  # pragma: no cover - capacity edge
+                        return None
+                lv = jnp.arange(scap, dtype=jnp.int32) < csn
+                parts.append((jnp.where(lv, s_j, INF + 1),
+                              jnp.where(lv, e_j, -1)))
+            if ok:
+                break
+        else:
+            return None  # interference at K=16: host fallback
+        alls = jnp.concatenate([s for s, e in parts])
+        alle = jnp.concatenate([e for s, e in parts])
+        order_s, order_e = jax.lax.sort((alls, alle), num_keys=1)
+        kept = int(jax.device_get(
+            (order_s <= INF).sum(dtype=jnp.int32)))
+        return order_s, order_e, kept
+
+    def _eoi_accepts_from(self, dev, n, start_pos) -> bool:
+        """True when the anchored verify run from start_pos survives to
+        EOI and accepts there; None when undecidable cheaply (the caller
+        must fall back).  Host tail replay, early exit on death."""
+        import jax
+        from ..dfa.dense import (CTX_NL, CTX_OTHER, CTX_SOT, CTX_WORD,
+                                 DEAD)
+        from ..nfa.nfa import WORD_BYTES
+        d = self._host_dense.get(self._verify_kind())
+        if d is None:
+            return False
+        s = int(d.starts[CTX_SOT])
+        if start_pos > 0:
+            pb = int(jax.device_get(dev[start_pos - 1]))
+            ctx = (CTX_WORD if WORD_BYTES[pb]
+                   else (CTX_NL if pb == 10 else CTX_OTHER))
+            s = int(d.starts[ctx])
+        pos = start_pos
+        budget = 1 << 20
+        while pos < n:
+            if pos - start_pos >= budget:
+                return None  # megabyte-long live run: undecidable here
+            chunk = np.asarray(jax.device_get(
+                dev[pos:min(n, pos + (1 << 16))]))
+            for b in chunk:
+                s = int(d.delta[s, int(d.classes[b])])
+                if s == DEAD:
+                    return False
+            pos += len(chunk)
+        return bool(d.match_eoi[s, CTX_SOT])
 
     def _candidate_spans_dev(self, dev, n):
         """PREFIX_RUN / PREFIX_SET: device candidate starts -> device
@@ -532,22 +895,17 @@ class BatchEngine:
         if cnt > self._DEV_FILTER_LIMIT:
             return None
         cap = _bucket(cnt, 16)
-        starts, _ = compact_positions(smask, cap)
-        starts = jnp.minimum(starts, n).astype(jnp.int32)
-        ws = WindowScanner(self._dense(self._verify_kind()), init_window=64)
-        ends = ws.ends_for_starts_device(dev, starts, cnt)
-        live = jnp.arange(cap, dtype=jnp.int32) < cnt
-        keep = live & (ends >= 0)
-        kept = int(jax.device_get(keep.sum(dtype=jnp.int32)))
+        r = self._interleaved_ends(dev, n, smask, cnt, cap)
+        if r is None:
+            return None
+        fs, fe, kept = r
         self._note_prefilter_counts(kept, cnt)
         if kept == 0:
             return _empty_spans_dev(), 0
-        kcap = _bucket(kept, 16)
-        from ..ops.bytescan import _mask_nonzero
-        sel = jnp.minimum(_mask_nonzero(keep, kcap), cap - 1)
-        fs = jnp.take(starts, sel)
-        fe = jnp.take(ends, sel)
+        kcap = int(fs.shape[0])
         klive = jnp.arange(kcap, dtype=jnp.int32) < kept
+        fs = jnp.where(klive, fs, jnp.int32(2**31 - 1))
+        fe = jnp.where(klive, fe, jnp.int32(-1))
         if not bool(jax.device_get(jnp.all(jnp.where(klive, fs < fe,
                                                      True)))):
             return None  # pragma: no cover - verifier contract broken
@@ -566,6 +924,7 @@ class BatchEngine:
             if nsel == 0:
                 return _empty_spans_dev(), 0
             scap = _bucket(nsel, 16)
+            from ..ops.bytescan import _mask_nonzero
             idx = jnp.minimum(_mask_nonzero(selm & klive, scap), kcap - 1)
             fs = jnp.take(fs, idx)
             fe = jnp.take(fe, idx)

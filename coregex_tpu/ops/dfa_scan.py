@@ -672,3 +672,178 @@ def _window_scan_flags(delta, match_on, comb, match_eoi, starts_tbl, bounds,
     edge_flag = eoi_of(fin_state) & at_cut_end
     alive = (fin_state != DEAD) & (end_pos < cut)
     return jnp.concatenate([flags.T, edge_flag[:, None]], axis=1), alive
+
+
+# ---------------------------------------------------------------------------
+# Reset scan: anchored runs restarted at marked positions (one contiguous
+# pass — the gather-free replacement for per-candidate window scans)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "W", "S", "C", "impl", "max_repair"))
+def _chunk_scan_reset(delta, match_on, comb, starts_tbl, bounds, data,
+                      aux, sot_start, L: int, T: int, W: int, S: int,
+                      C: int, impl: str, max_repair: int):
+    """Like _chunk_scan_full, but the automaton state RESETS to the
+    anchored start state at every marked position before consuming its
+    byte: one contiguous lane-chunked pass computes the anchored run
+    from every reset point (per-candidate verification without the
+    ~70 ns/byte device gathers of windowed scans).
+
+    aux[p] (uint8): bit0 = reset at p, bits 1-2 = CTX_* context for the
+    start state (context of byte p-1).  Returns (flags [L, T], exits
+    [L], converged, interfered) — interfered is True when any reset hit
+    a still-live state (the previous run's extent may be cut short; the
+    caller must repair or fall back)."""
+    tables = (delta, match_on, comb)
+    step = make_step((S, C), impl)
+
+    cls_all = jnp.searchsorted(bounds, data.astype(jnp.int32),
+                               side="right").astype(jnp.uint8)
+    pad = L * T - data.shape[0]
+    packed = (cls_all << 3) | aux  # C <= 32 gate enforced by the caller
+    chunks = jnp.pad(packed, (0, pad)).reshape(L, T)
+    if W > 0:
+        warm = jnp.roll(chunks, 1, axis=0)[:, T - W:]
+        xs = jnp.concatenate([warm, chunks], axis=1)
+    else:
+        xs = chunks
+    xs_T = xs.T  # [n_steps, L]
+
+    def sel_start(ctx):
+        return jnp.where(
+            ctx == CTX_SOT, starts_tbl[CTX_SOT],
+            jnp.where(ctx == CTX_WORD, starts_tbl[CTX_WORD],
+                      jnp.where(ctx == CTX_NL, starts_tbl[CTX_NL],
+                                starts_tbl[CTX_OTHER])))
+
+    def unpack(x):
+        xi = x.astype(jnp.int32)
+        return xi >> 3, xi & 1, (xi >> 1) & 3  # class, reset, ctx
+
+    starts_off = jnp.arange(L, dtype=jnp.int32) * T
+    guess_pos = starts_off - W
+    # entry guess: resets resync quickly; DEAD (no live run) is the
+    # natural guess for a reset-scan lane entry
+    entries0 = jnp.full((L,), DEAD, jnp.int32).at[0].set(sot_start)
+    offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
+
+    def scan_once(entries, offsets):
+        def body_w(carry, x):
+            s, t = carry
+            c, rs, ctx = unpack(x)
+            live = t >= offsets
+            s_pre = jnp.where(rs == 1, sel_start(ctx), s)
+            nxt, _ = step(tables, s_pre, c)
+            return (jnp.where(live, nxt, s), t + 1), None
+
+        def body_m(s, x):
+            c, rs, ctx = unpack(x)
+            interf = (rs == 1) & (s != DEAD)
+            s_pre = jnp.where(rs == 1, sel_start(ctx), s)
+            nxt, flg = step(tables, s_pre, c)
+            return nxt, (flg, interf)
+
+        (sync, _), _ = jax.lax.scan(
+            body_w, (entries, jnp.int32(0)), xs_T[:W], unroll=4)
+        fin, (flags, interf) = jax.lax.scan(body_m, sync, xs_T[W:],
+                                            unroll=8)
+        return fin, flags, interf, sync
+
+    exits0, flags0, interf0, sync0 = scan_once(entries0, offsets0)
+
+    def want_of(exits):
+        return jnp.concatenate([jnp.array([1], jnp.int32) * sot_start,
+                                exits[:-1]])
+
+    def cond(state):
+        k, exits, flags, interf, sync = state
+        return (k < max_repair) & jnp.any(want_of(exits) != sync)
+
+    def rep(state):
+        k, exits, flags, interf, sync = state
+        new_entries = want_of(exits)
+        offs = jnp.full((L,), W, jnp.int32)
+        ne, nf, ni, ns = scan_once(new_entries, offs)
+        return (k + 1, ne, nf, ni, ns)
+
+    k, exits, flags, interf, sync = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), exits0, flags0, interf0, sync0))
+    converged = ~jnp.any(want_of(exits) != sync)
+    n = data.shape[0]
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 1) * T
+           + jax.lax.broadcasted_iota(jnp.int32, (T, L), 0))
+    interfered = jnp.any(interf & (pos < n))
+    return flags.T, exits, converged, interfered
+
+
+class ResetScanner:
+    """Contiguous anchored-run scan with per-position restarts.
+
+    The verification engine for candidate families: where the window
+    scanner gathers a [B, W] byte matrix per batch (memory-latency bound
+    on TPU), this streams the corpus once in lane chunks and restarts
+    the anchored automaton at each candidate (reset) position, so ends
+    come out at full scan bandwidth.  sot_start defaults to DEAD (no
+    live run before the first reset)."""
+
+    SEG_LIMIT = 1 << 29
+
+    def __init__(self, ddfa: DeviceDFA, max_repair: int = 4,
+                 impl: Optional[str] = None):
+        self.d = ddfa
+        self.max_repair = max_repair
+        self.impl = impl or _impl_default()
+        if ddfa.num_classes > 32:
+            raise ValueError("reset scan packs class+aux in u8: C <= 32")
+
+    def _aux(self, data, reset_mask):
+        prev = jnp.concatenate(
+            [jnp.zeros(1, dtype=data.dtype), data[:-1]])
+        ctx = byte_context(prev).astype(jnp.uint8)
+        ctx = jnp.where(jnp.arange(data.shape[0]) == 0,
+                        jnp.uint8(CTX_SOT), ctx)
+        return (reset_mask.astype(jnp.uint8)
+                | (ctx << 1)).astype(jnp.uint8)
+
+    def _scan_one(self, data, aux, entry, L, T, W):
+        d = self.d
+        return _chunk_scan_reset(
+            d.delta, d.match_on, d.comb, d.starts, d.bounds, data, aux,
+            entry, L=L, T=T, W=W, S=d.num_states, C=d.num_classes,
+            impl=self.impl, max_repair=self.max_repair)
+
+    def scan_device(self, data: jnp.ndarray, reset_mask: jnp.ndarray):
+        """(flags [L,T], exits [L], converged, interfered, (L, T));
+        flags[lane, t] == anchored-run match end at offset lane*T + t."""
+        n = int(data.shape[0])
+        aux = self._aux(data, reset_mask)
+        entry = jnp.int32(DEAD)
+        # wide warmup: a reset inside the warmup window syncs the lane
+        # exactly, so candidate spacing < W makes repair rescans rare
+        if n <= self.SEG_LIMIT:
+            L, T, W = _plan_geometry(n, warmup=1024)
+            fl, ex, cv, inf = self._scan_one(data, aux, entry, L, T, W)
+            return fl, ex, cv, inf, (L, T)
+        L, T, W = _plan_geometry(self.SEG_LIMIT, warmup=1024)
+        seg = L * T
+        fps, eps = [], []
+        cv_all = None
+        inf_all = None
+        off = 0
+        while off < n:
+            end = min(n, off + seg)
+            m = end - off
+            Lk = L if m == seg else -(-m // T)
+            fl, ex, cv, inf = self._scan_one(
+                data[off:end], aux[off:end], entry, Lk, T, min(W, T))
+            fps.append(fl)
+            eps.append(ex)
+            cv_all = cv if cv_all is None else (cv_all & cv)
+            inf_all = inf if inf_all is None else (inf_all | inf)
+            entry = ex[Lk - 1]
+            off = end
+        fl = jnp.concatenate(fps, axis=0)
+        ex = jnp.concatenate(eps)
+        return fl, ex, cv_all, inf_all, (int(fl.shape[0]), T)

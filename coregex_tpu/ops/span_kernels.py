@@ -179,3 +179,38 @@ def line_span_masks(dev, lit: Tuple[int, ...], prefix: Tuple[int, ...],
         smask = jnp.concatenate([ls_has, pad1])
         emask = end_line_mask
     return smask, emask
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def _go_select_flex_round(smin, smax, ends, live, rounds: int):
+    def prevmax(sel):
+        e = jnp.where(sel, ends, -1)
+        return jnp.concatenate(
+            [jnp.full(1, -1, jnp.int32), jax.lax.cummax(e)[:-1]])
+
+    def step(sel):
+        return live & (prevmax(sel) <= smax)
+
+    sel = live
+    for _ in range(rounds):
+        sel = step(sel)
+    stable = jnp.all(step(sel) == sel)
+    pm = prevmax(sel)
+    starts = jnp.maximum(smin, pm)
+    return sel, stable, starts
+
+
+def go_select_flex(smin, smax, ends, cnt: int, cap: int,
+                   max_rounds: int = 24):
+    """Flexible-start Go selection: candidate i can start anywhere in
+    [smin[i], smax[i]] (a class-run prefix admits every suffix of its
+    run) with a FIXED end.  Go's walk picks, from restart position pos,
+    the first candidate with smax >= pos, matching at max(smin, pos) —
+    so selection is the unique fixed point of
+    sel[i] = (max selected end among j < i) <= smax[i], and the emitted
+    start is max(smin[i], that running max).  Returns
+    (sel mask, ok, starts array) on device."""
+    live = jnp.arange(cap, dtype=jnp.int32) < cnt
+    sel, stable, starts = _go_select_flex_round(smin, smax, ends, live,
+                                                rounds=max_rounds)
+    return sel, bool(jax.device_get(stable)), starts

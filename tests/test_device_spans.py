@@ -159,3 +159,90 @@ def test_version_pattern_device_path():
     got = [(int(a), int(b))
            for a, b in np.asarray(jax.device_get(sd[:cnt]))]
     assert got == h._all_spans(ARR)
+
+
+class TestInnerDeviceSpans:
+    """INNER family via class-run prefixes + suffix reset-scan
+    (email/url shapes) — exact vs the host walk, including the
+    adversarial cases that killed naive leftmost-only pipelines."""
+
+    EMAIL = r"[\w.+-]+@[\w.-]+\.[\w.-]+"
+    URL = r"\w+://[^\s]+"
+
+    def _chk(self, pat, data):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        e = Engine.compile(pat)
+        e.batch_threshold = 0
+        h = Engine.compile(pat)
+        h.batch_threshold = 1 << 60
+        want = h._all_spans(arr)
+        be = e.batch_engine()
+        r = be.find_all_spans_device(arr)
+        if r is not None:
+            sd, cnt = r
+            got = [(int(a), int(b))
+                   for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+            assert got == want, (pat, data[:60])
+        # host API must be exact either way
+        assert e._all_spans(arr) == want, (pat, data[:60])
+        return r is not None
+
+    def test_bench_shapes_on_base(self):
+        assert self._chk(self.EMAIL, BASE)
+        assert self._chk(self.URL, BASE)
+
+    def test_mid_run_start_after_prev_end(self):
+        # prev match ends inside the next candidate's start run: Go
+        # restarts mid-run; the flexible-interval selection must emit
+        # max(leftmost, prev_end)
+        assert self._chk(r"\w+@\w+", b"a@b+c@d x") is not None
+
+    def test_eoi_suffix(self):
+        for data in (b"a@b", b"joe@x.com", b"no.dot@nodomain and x@y.z",
+                     b"pre a@b"):
+            self._chk(r"\w+@\w+", data)
+            self._chk(self.EMAIL, data)
+
+    def test_nested_candidate_interference_falls_back(self):
+        # a second "://" inside the first URL's suffix run: interference
+        # detected on device, host walk stays exact
+        data = b"see http://x.com/r?u=https://y.com done"
+        arr = np.frombuffer(data, dtype=np.uint8)
+        e = Engine.compile(self.URL)
+        e.batch_threshold = 0
+        h = Engine.compile(self.URL)
+        h.batch_threshold = 1 << 60
+        assert e._all_spans(arr) == h._all_spans(arr)
+
+    def test_bounded_prefix_repeats(self):
+        self._chk(r"\w{2,4}@\w+", b"toolong12345@x yy@z a@b")
+        self._chk(r"\w{2,}@\w+", b"abcde@x y@z")
+
+    def test_structured_fuzz(self):
+        rng = np.random.default_rng(101)
+        toks = [b"a@b.c", b"xx@y", b"foo", b"@", b".", b"a@b",
+                b"x@y.z@w.q", b" ", b"\n", b"u+v@d-e.f"]
+        for t in range(8):
+            data = b"".join(
+                toks[i] for i in rng.integers(0, len(toks), size=60))
+            self._chk(self.EMAIL, data)
+            self._chk(r"\w+@\w+", data)
+
+
+def test_prefix_run_interleaved_fuzz():
+    """PREFIX_RUN verification via K-interleaved reset-scans: exact on
+    token soup with dense overlapping candidates and EOI-ending
+    matches (each subset's final interval can silently reach EOI)."""
+    rng = np.random.default_rng(7)
+    toks = [b"1.2.3", b"10x20x30", b"1", b".", b" ", b"\n", b"99.100",
+            b"2.14.7", b"a"]
+    for t in range(14):
+        data = b"".join(
+            toks[i] for i in rng.integers(0, len(toks), size=40))
+        arr = np.frombuffer(data, np.uint8)
+        for pat in (r"\d+.\d+.\d+", r"\d+\.\d+\.\d+\.\d+"):
+            e = Engine.compile(pat)
+            e.batch_threshold = 0
+            h = Engine.compile(pat)
+            h.batch_threshold = 1 << 60
+            assert e._all_spans(arr) == h._all_spans(arr), (t, pat)
