@@ -603,40 +603,30 @@ class BatchEngine:
             if not bool(jax.device_get(conv)) or bool(
                     jax.device_get(interf)):
                 return None  # nested candidates / non-convergence
-            flag = flags.reshape(-1)[:n]
-            # a suffix surviving to EOI ends at n — invisible to the
-            # in-array flags (only the final interval can do this;
-            # earlier ones would trip the interference check)
-            eoi_end = self._suffix_eoi_end(dev, n, rmask)
-            if eoi_end == -1:
-                return None  # EOI status undecidable cheaply: host
-            # next reset / next flag STRICTLY after p
-            rpos = jnp.where(rmask, iota, INF)
-            fpos = jnp.where(flag, iota, INF)
-            nr_in = jax.lax.cummin(rpos[::-1])[::-1]
-            nf_in = jax.lax.cummin(fpos[::-1])[::-1]
-            nr_ex = jnp.concatenate([nr_in[1:], jnp.full(1, n, jnp.int32)])
-            nf_ex = jnp.concatenate([nf_in[1:], jnp.full(1, n, jnp.int32)])
-            # ends live in [n+1]: an interval's last flag, or n for the
-            # EOI-surviving final interval (supersedes earlier flags —
-            # last flag before death)
-            endmask = flag & (nf_ex >= nr_ex)
-            has = rmask & (nf_ex < nr_ex)  # interval holds >= 1 flag
-            endmask = jnp.concatenate(
-                [endmask, jnp.zeros(1, dtype=bool)])
-            if eoi_end is not None:
-                last_r = int(jax.device_get(jnp.max(
-                    jnp.where(rmask, iota, -1))))
-                if last_r >= 0:
-                    # the final interval ends at n; drop its in-array
-                    # last-flag bit (if any) in favor of the EOI end
-                    in_final = jnp.arange(n, dtype=jnp.int32) >= last_r
-                    endmask = endmask.at[:n].set(
-                        endmask[:n] & ~in_final)
-                    endmask = endmask.at[n].set(True)
-                    has = has.at[last_r].set(True)
+            flag, eoi_flag = self._flags_with_eoi(
+                flags, n, not litmod.has_looks(sp.suffix_ast))
+            if flag is None:
+                return None  # EOI undecidable in-scan: host path
+            # ends live in [n+1]: the suffix surviving to EOI ends at n
+            # (the pad-byte flag; supersedes earlier flags — last flag
+            # before death)
+            ext = jnp.concatenate([rmask, jnp.zeros(1, dtype=bool)])
+            flag1 = jnp.concatenate(
+                [flag, jnp.full(1, eoi_flag, bool)])
+            iota1 = jnp.arange(n + 1, dtype=jnp.int32)
+            INF1 = jnp.int32(n + 1)
+            rpos = jnp.where(ext, iota1, INF1)
+            fpos = jnp.where(flag1, iota1, INF1)
+            nr_ex = jnp.concatenate(
+                [jax.lax.cummin(rpos[::-1])[::-1][1:],
+                 jnp.full(1, n + 1, jnp.int32)])
+            nf_ex = jnp.concatenate(
+                [jax.lax.cummin(fpos[::-1])[::-1][1:],
+                 jnp.full(1, n + 1, jnp.int32)])
+            endmask = flag1 & (nf_ex >= nr_ex)
+            has = ext & (nf_ex < nr_ex)  # interval holds >= 1 flag
             verified = valid_c & jnp.concatenate(
-                [has[k:], jnp.zeros(k, dtype=bool)])
+                [has[k:n], jnp.zeros(k, dtype=bool)])
         cnt = int(jax.device_get(mask_count(verified)))
         if cnt == 0:
             return _empty_spans_dev(), 0
@@ -682,76 +672,10 @@ class BatchEngine:
         fs = jnp.where(slive, fs, jnp.int32(n))
         return jnp.stack([fs, fe], axis=1), nsel
 
-    def _suffix_eoi_end(self, dev, n, rmask):
-        """End-at-EOI for the final suffix interval: replay the tail
-        from the last lane boundary on host (mirrors
-        ChunkScanner._exit_at_n, with resets)."""
-        import jax
-        from ..dfa.dense import CTX_SOT, DEAD
-        d = self._host_dense.get(
-            "fwd_suffix" if not self.longest else "fwd_suffix_all")
-        if d is None:
-            return None
-        # host replay from the last reset position (its interval is the
-        # only one that can reach EOI)
-        from ..ops.bytescan import mask_count
-        import jax.numpy as jnp
-        last_r = int(jax.device_get(
-            jnp.max(jnp.where(rmask, jnp.arange(n, dtype=jnp.int32),
-                              -1))))
-        if last_r < 0:
-            return None
-        if n - last_r > (1 << 20):
-            # replay lazily in 64 KB slices: the run usually dies fast;
-            # a genuinely megabyte-long live suffix tail is undecidable
-            # cheaply and bounces the whole path to the host
-            return self._suffix_eoi_walk_long(dev, n, last_r)
-        tail = np.asarray(jax.device_get(dev[last_r:n]))
-        s = int(d.starts[CTX_SOT])
-        # anchored start context: byte before last_r
-        if last_r > 0:
-            from ..nfa.nfa import WORD_BYTES
-            from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_WORD
-            pb = int(jax.device_get(dev[last_r - 1]))
-            ctx = (CTX_WORD if WORD_BYTES[pb]
-                   else (CTX_NL if pb == 10 else CTX_OTHER))
-            s = int(d.starts[ctx])
-        for b in tail:
-            s = int(d.delta[s, int(d.classes[b])])
-            if s == DEAD:
-                return None
-        return n if d.match_eoi[s, CTX_SOT] else None
-
-    def _suffix_eoi_walk_long(self, dev, n, last_r):
-        import jax
-        from ..dfa.dense import CTX_SOT, DEAD
-        from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_WORD
-        from ..nfa.nfa import WORD_BYTES
-        d = self._host_dense.get(
-            "fwd_suffix" if not self.longest else "fwd_suffix_all")
-        s = int(d.starts[CTX_SOT])
-        if last_r > 0:
-            pb = int(jax.device_get(dev[last_r - 1]))
-            ctx = (CTX_WORD if WORD_BYTES[pb]
-                   else (CTX_NL if pb == 10 else CTX_OTHER))
-            s = int(d.starts[ctx])
-        pos = last_r
-        budget = 1 << 20
-        while pos < n:
-            if pos - last_r >= budget:
-                return -1  # megabyte-long live suffix run: host path
-            chunk = np.asarray(jax.device_get(
-                dev[pos:min(n, pos + (1 << 16))]))
-            for b in chunk:
-                s = int(d.delta[s, int(d.classes[b])])
-                if s == DEAD:
-                    return None
-            pos += len(chunk)
-        return n if d.match_eoi[s, CTX_SOT] else None
-
-    # verified-candidate filtering gathers 2 int32 per candidate; past
-    # this count the gather cost exceeds the host pipeline's
-    _DEV_FILTER_LIMIT = 1 << 23
+    # interleaved verification handles tens of millions of candidates
+    # (contiguous scans, no per-candidate gathers); the cap bounds the
+    # compaction buffers
+    _DEV_FILTER_LIMIT = 1 << 24
 
     def _interleaved_ends(self, dev, n, smask, cnt, cap):
         """Verified (starts, ends, kept) for candidate starts, via K
@@ -788,42 +712,32 @@ class BatchEngine:
                 if bool(jax.device_get(interf)):
                     ok = False
                     break
-                flag = flags.reshape(-1)[:n]
-                rpos = jnp.where(sub, iota, INF)
-                fpos = jnp.where(flag, iota, INF)
+                flag, eoi_flag = self._flags_with_eoi(
+                    flags, n, not litmod.has_looks(self.ast))
+                if flag is None:
+                    return None  # EOI undecidable in-scan: host path
+                ext = jnp.concatenate([sub, jnp.zeros(1, dtype=bool)])
+                iota1 = jnp.arange(n + 1, dtype=jnp.int32)
+                INF1 = jnp.int32(n + 1)
+                flag1 = jnp.concatenate(
+                    [flag, jnp.full(1, eoi_flag, bool)])
+                rpos = jnp.where(ext, iota1, INF1)
+                fpos = jnp.where(flag1, iota1, INF1)
                 nr_ex = jnp.concatenate(
                     [jax.lax.cummin(rpos[::-1])[::-1][1:],
-                     jnp.full(1, n, jnp.int32)])
+                     jnp.full(1, n + 1, jnp.int32)])
                 nf_ex = jnp.concatenate(
                     [jax.lax.cummin(fpos[::-1])[::-1][1:],
-                     jnp.full(1, n, jnp.int32)])
-                endm = flag & (nf_ex >= nr_ex)  # last flag per interval
-                has = sub & (nf_ex < nr_ex)     # verified candidates
+                     jnp.full(1, n + 1, jnp.int32)])
+                endm = flag1 & (nf_ex >= nr_ex)  # last flag per interval
+                has = ext & (nf_ex < nr_ex)      # verified candidates
                 s_j, cs = compact_positions(has, scap)
                 e_j, ce = compact_positions(endm, scap)
-                if not bool(jax.device_get((cs == ce) & (cs <= scap))):
-                    return None  # pragma: no cover - alignment broken
-                csn = int(jax.device_get(cs))
-                # this subset's LAST candidate has no same-subset reset
-                # after it: its run can survive to EOI and accept there
-                # (end n supersedes any in-array flag — last flag before
-                # death)
-                lastc = int(jax.device_get(jnp.max(
-                    jnp.where(sub, iota, -1))))
-                eoi = (self._eoi_accepts_from(dev, n, lastc)
-                       if lastc >= 0 else False)
-                if eoi is None:
-                    return None  # undecidable cheaply: host path
-                if eoi:
-                    if csn and int(jax.device_get(
-                            s_j[csn - 1])) == lastc:
-                        e_j = e_j.at[csn - 1].set(jnp.int32(n))
-                    elif csn < scap:
-                        s_j = s_j.at[csn].set(jnp.int32(lastc))
-                        e_j = e_j.at[csn].set(jnp.int32(n))
-                        csn += 1
-                    else:  # pragma: no cover - capacity edge
-                        return None
+                ok_j, csn = (bool(x) if i == 0 else int(x) for i, x in
+                             enumerate(jax.device_get(
+                                 ((cs == ce) & (cs <= scap), cs))))
+                if not ok_j:  # pragma: no cover - alignment broken
+                    return None
                 lv = jnp.arange(scap, dtype=jnp.int32) < csn
                 parts.append((jnp.where(lv, s_j, INF + 1),
                               jnp.where(lv, e_j, -1)))
@@ -838,36 +752,18 @@ class BatchEngine:
             (order_s <= INF).sum(dtype=jnp.int32)))
         return order_s, order_e, kept
 
-    def _eoi_accepts_from(self, dev, n, start_pos) -> bool:
-        """True when the anchored verify run from start_pos survives to
-        EOI and accepts there; None when undecidable cheaply (the caller
-        must fall back).  Host tail replay, early exit on death."""
-        import jax
-        from ..dfa.dense import (CTX_NL, CTX_OTHER, CTX_SOT, CTX_WORD,
-                                 DEAD)
-        from ..nfa.nfa import WORD_BYTES
-        d = self._host_dense.get(self._verify_kind())
-        if d is None:
-            return False
-        s = int(d.starts[CTX_SOT])
-        if start_pos > 0:
-            pb = int(jax.device_get(dev[start_pos - 1]))
-            ctx = (CTX_WORD if WORD_BYTES[pb]
-                   else (CTX_NL if pb == 10 else CTX_OTHER))
-            s = int(d.starts[ctx])
-        pos = start_pos
-        budget = 1 << 20
-        while pos < n:
-            if pos - start_pos >= budget:
-                return None  # megabyte-long live run: undecidable here
-            chunk = np.asarray(jax.device_get(
-                dev[pos:min(n, pos + (1 << 16))]))
-            for b in chunk:
-                s = int(d.delta[s, int(d.classes[b])])
-                if s == DEAD:
-                    return False
-            pos += len(chunk)
-        return bool(d.match_eoi[s, CTX_SOT])
+    @staticmethod
+    def _flags_with_eoi(flags, n, lookfree: bool):
+        """(flag[:n], flag_at_n) from a padded scan's flag matrix.  For
+        look-free patterns, accepting is a pure state property, so the
+        scan's flag at offset n (computed against the first zero pad
+        byte) equals the EOI acceptance — ends-at-n come out of the scan
+        itself, no host tail replay.  (None, None) when not decidable
+        in-scan (looks, or no pad region)."""
+        flat = flags.reshape(-1)
+        if lookfree and int(flat.shape[0]) > n:
+            return flat[:n], flat[n]
+        return None, None
 
     def _candidate_spans_dev(self, dev, n):
         """PREFIX_RUN / PREFIX_SET: device candidate starts -> device
