@@ -167,6 +167,16 @@ def span_digest_device(spans_dev, cnt):
     return int(ssum), int(esum), bool(ok)
 
 
+def _release_device_corpora(eng):
+    """Drop ALL cached device corpus buffers (incl. the full-size count
+    corpus) so the find_all slice phase starts with clean HBM headroom;
+    keeps the engine's compiled artifacts."""
+    import gc
+    from coregex_tpu.utils import corpus_cache
+    corpus_cache._cache.clear()
+    gc.collect()
+
+
 def _free_config_state(eng):
     """Release per-config device residue: the engine's DFA tables and any
     flipped corpus copies.  The forward corpus buffer and the word-tile
@@ -247,9 +257,18 @@ def main():
         fa_ms = fa_gbps = fa_ratio = None
         fa_ok = True
         fa_mode = "none"
+        # find_all runs on a bounded slice: the device span assembly
+        # holds several corpus-sized int32 intermediates, so a 1.5 GB
+        # corpus exceeds HBM; ~40 tiles (~256 MB) amortize the ~26 ms
+        # sync floor while staying comfortably resident.  The count
+        # phase's full-corpus device buffers are dropped first.
+        fa_reps = min(reps, max(1, (256 * 1024 * 1024) // len(base)))
+        fa_arr = arr[:fa_reps * len(base)]
+        fa_n = len(fa_arr)
+        _release_device_corpora(eng)
         try:
             be = eng.batch_engine()
-            r = be.find_all_spans_device(arr)
+            r = be.find_all_spans_device(fa_arr)
             if r is not None:
                 sd, fcnt = r
                 t0 = time.perf_counter()
@@ -258,23 +277,25 @@ def main():
                 times = []
                 for _i in range(2):
                     t0 = time.perf_counter()
-                    r2 = be.find_all_spans_device(arr)
+                    r2 = be.find_all_spans_device(fa_arr)
                     sd2, fcnt2 = r2
                     dig = span_digest_device(sd2, fcnt2)
                     times.append(time.perf_counter() - t0)
                 fa_ms = min(times) * 1e3
                 fa_mode = "device"
                 if check_parity:
-                    em, es, ee = oracle_span_digest(pattern, base, reps)
+                    em, es, ee = oracle_span_digest(pattern, base,
+                                                    fa_reps)
                     fa_ok = (fcnt2 == em and dig[0] == es
                              and dig[1] == ee and dig[2])
             else:
                 t0 = time.perf_counter()
-                sp = be.find_all_spans(arr, -1)
+                sp = be.find_all_spans(fa_arr, -1)
                 fa_ms = (time.perf_counter() - t0) * 1e3
                 fa_mode = "host"
                 if check_parity:
-                    em, es, ee = oracle_span_digest(pattern, base, reps)
+                    em, es, ee = oracle_span_digest(pattern, base,
+                                                    fa_reps)
                     M = 1 << 32
                     fa_ok = (len(sp) == em
                              and int(sp[:, 0].sum()) % M == es
@@ -296,8 +317,9 @@ def main():
         ratios.append(ratio)
         gbps_all.append(gbps)
         if fa_ms is not None:
-            fa_gbps = n / (fa_ms / 1e3) / 1e9
-            fa_ratio = ref_ms / (fa_ms / scale)
+            fa_scale = (fa_n / 1e6) / REF_MB
+            fa_gbps = fa_n / (fa_ms / 1e3) / 1e9
+            fa_ratio = ref_ms / (fa_ms / fa_scale)
             fa_ratios.append(fa_ratio)
             fa_gbps_all.append(fa_gbps)
         results[name] = dict(ms=best * 1e3, per6_ms=per6_ms, gbps=gbps,

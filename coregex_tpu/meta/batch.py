@@ -8,6 +8,7 @@ All paths are span-exact vs the host engine (differential-tested).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -384,13 +385,21 @@ class BatchEngine:
     # find_all_spans fetches from these when available; the bench times
     # them directly (device-resident results + device checksums — the
     # 30 MB/s axon host link is an artifact of this rig, not the TPU).
+    # device span assembly holds several corpus-sized int32 intermediates
+    # (line bounds, running maxima, interval arrays); past this size they
+    # exceed HBM in one piece and the chunked host pipelines take over.
+    # (Segmented mask algebra with carried scan states is the planned
+    # lift; the limit is env-tunable for experiments.)
+    DEVICE_SPANS_LIMIT = int(os.environ.get(
+        "COREGEX_TPU_DEV_SPANS_LIMIT", str(448 * 1024 * 1024)))
+
     def find_all_spans_device(self, data: np.ndarray):
         """(spans_dev [cap,2] int32, count int) or None (out of scope /
         validation failed -> host pipelines)."""
         import jax
         from ..utils.corpus_cache import device_corpus
         n = len(data)
-        if n == 0:
+        if n == 0 or n > self.DEVICE_SPANS_LIMIT:
             return None
         strat = self.plan.strategy
         builders = {
@@ -1094,8 +1103,15 @@ class BatchEngine:
                 sc = self._count_scanner()
                 if sc:
                     from ..parallel.shard import default_mesh
-                    from ..parallel.sharded_count import ShardedGoCount
-                    self._sharded_sc = ShardedGoCount(sc.cd, default_mesh())
+                    from ..parallel.sharded_count import (Phase1TooWide,
+                                                          ShardedGoCount)
+                    try:
+                        self._sharded_sc = ShardedGoCount(
+                            sc.cd, default_mesh())
+                    except Phase1TooWide:
+                        # all-entries enumeration too wide: the plain
+                        # single-device transducer scan wins
+                        self._sharded_sc = False
         return self._sharded_sc
 
     def nullable_count(self, data: np.ndarray) -> Optional[int]:

