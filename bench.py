@@ -25,6 +25,10 @@ import re
 import sys
 import time
 
+# the bench measures steady-state kernel time: disable the cold-serve
+# onehot bridge so warmup compiles the select tree synchronously
+os.environ.setdefault("COREGEX_TPU_COLD_SERVE", "0")
+
 import numpy as np
 
 # Persistent XLA compilation cache: kernel compiles through the remote
@@ -169,11 +173,14 @@ def span_digest_device(spans_dev, cnt):
 
 def _release_device_corpora(eng):
     """Drop ALL cached device corpus buffers (incl. the full-size count
-    corpus) so the find_all slice phase starts with clean HBM headroom;
-    keeps the engine's compiled artifacts."""
+    corpus AND its int32 word-tile layout — together ~2x corpus bytes)
+    so the find_all slice phase starts with clean HBM headroom; keeps
+    the engine's compiled artifacts."""
     import gc
+    from coregex_tpu.ops import count_scan
     from coregex_tpu.utils import corpus_cache
     corpus_cache._cache.clear()
+    count_scan._tiles_cache.clear()
     gc.collect()
 
 

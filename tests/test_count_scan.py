@@ -104,3 +104,62 @@ def test_pallas_interpret_matches_oracle():
                    geometry=plan_geometry(len(arr), lc=128))
     exp = cd.count_scan(arr)
     assert got == exp
+
+
+class TestColdServe:
+    """Cold-compile mitigation (round-3 verdict item 7): first queries
+    on a new pattern shape are served by the compile-shared onehot path
+    while the select-tree kernel warms in the background; later queries
+    switch over."""
+
+    def _scanner(self, monkeypatch):
+        import coregex_tpu.ops.count_scan as cs
+        from coregex_tpu.dfa.countdfa import build_count_dfa
+        from coregex_tpu.dfa.determinize import determinize
+        from coregex_tpu.nfa.thompson import compile_nfa
+        from coregex_tpu.syntax.parser import parse
+        monkeypatch.setenv("COREGEX_TPU_COLD_SERVE", "1")
+        nfa = compile_nfa(parse(r"ab+c"), with_captures=False)
+        cd = build_count_dfa(
+            determinize(nfa, anchored=False, break_at_match=True))
+        sc = cs.CountScanner(cd)
+        sc.impl = "pallas"       # pretend the Mosaic path was selected
+        sc.cold_serve = True
+        return cs, sc
+
+    def test_switchover(self, monkeypatch):
+        import threading
+        import jax.numpy as jnp
+        import numpy as np
+        cs, sc = self._scanner(monkeypatch)
+        used = []
+        gate = threading.Event()
+
+        def fake_count_once(data_dev, geometry, impl):
+            used.append(impl)
+            if impl == "pallas" and not gate.is_set():
+                gate.wait(timeout=10)  # simulate the slow remote compile
+            return sc._count_once_real(data_dev, geometry, "gather")
+
+        sc._count_once_real = cs.CountScanner._count_once.__get__(sc)
+        monkeypatch.setattr(sc, "_count_once", fake_count_once)
+        data = jnp.asarray(
+            np.frombuffer(b"xx abc abbbc " * 500, dtype=np.uint8))
+        c1 = sc.count(data)
+        # the serving call is onehot; the background thread's pallas
+        # warm call may interleave before or after it
+        assert "onehot" in used[:2]
+        assert c1 == sc.cd.count_scan(np.asarray(data))
+        gate.set()                            # background compile lands
+        sc._warm_thread.join(timeout=10)
+        assert sc._warm_done
+        c2 = sc.count(data)
+        assert used[-1] == "pallas"           # switched over
+        assert c2 == c1
+
+    def test_disable_env(self, monkeypatch):
+        cs, sc = self._scanner(monkeypatch)
+        monkeypatch.setenv("COREGEX_TPU_COLD_SERVE", "0")
+        from coregex_tpu.ops.count_scan import CountScanner
+        sc2 = CountScanner(sc.cd, impl="gather")
+        assert not sc2.cold_serve  # non-pallas impls never cold-serve
