@@ -431,11 +431,12 @@ class BatchEngine:
         if literal_self_overlaps(lit):
             return None  # overlap selection: host walk
         smask = _memmem_mask(dev, tuple(lit))
-        cnt = int(jax.device_get(mask_count(smask)))
+        # sync-free cap: non-overlapping k-byte hits number <= n/k
+        cap = _bucket(max(n // k, 16), 16)
+        starts, cnt_dev = compact_positions(smask, cap)
+        cnt = int(jax.device_get(cnt_dev))
         if cnt == 0:
             return _empty_spans_dev(), 0
-        cap = _bucket(cnt, 16)
-        starts, _ = compact_positions(smask, cap)
         live = jnp.arange(cap, dtype=jnp.int32) < cnt
         ends = jnp.where(live, starts + k, starts)
         return jnp.stack([starts, ends], axis=1), cnt
@@ -465,12 +466,13 @@ class BatchEngine:
                 ok_bwd = ok_bwd & jnp.concatenate([z, mask[:-j]])
             smask = smask & ok_fwd
             emask = emask & ok_bwd
-        cnt = int(jax.device_get(mask_count(smask)))
+        # sync-free cap: maximal runs number <= (n+1)//2
+        cap = _bucket(max((n + 1) // 2, 16), 16)
+        starts, cnt_dev = compact_positions(smask, cap)
+        lasts, _ = compact_positions(emask, cap)
+        cnt = int(jax.device_get(cnt_dev))
         if cnt == 0:
             return _empty_spans_dev(), 0
-        cap = _bucket(cnt, 16)
-        starts, _ = compact_positions(smask, cap)
-        lasts, _ = compact_positions(emask, cap)
         live = jnp.arange(cap, dtype=jnp.int32) < cnt
         if plain:
             ends = jnp.where(live, lasts + 1, starts)
@@ -489,13 +491,15 @@ class BatchEngine:
         from ..ops.span_kernels import (multi_literal_span_masks,
                                         spans_from_masks)
         lits = tuple(tuple(l) for l in self.plan.literals)
+        kmin = min(len(l) for l in self.plan.literals)
         smask, emask = multi_literal_span_masks(dev, lits)
-        cnt = int(jax.device_get(mask_count(smask)))
+        # sync-free cap: hits number <= n/shortest-literal
+        cap = _bucket(max(n // max(kmin, 1), 16), 16)
+        spans, cs, ok = spans_from_masks(smask, emask, cap)
+        cnt, okh = (int(x) for x in jax.device_get((cs, ok)))
         if cnt == 0:
             return _empty_spans_dev(), 0
-        cap = _bucket(cnt, 16)
-        spans, cs, ok = spans_from_masks(smask, emask, cap)
-        if not bool(jax.device_get(ok)):
+        if not okh:
             return None  # overlapping hits: host selection walk
         return spans, cnt
 
@@ -513,12 +517,13 @@ class BatchEngine:
             dev, tuple(sp.lit),
             tuple(sp.prefix_literal) if sp.line_anchored else (),
             sp.line_anchored, mode)
-        cnt = int(jax.device_get(mask_count(smask)))
+        # sync-free cap: at most one match per line, lines <= n//2 + 2
+        cap = _bucket(max(n // 2 + 2, 16), 16)
+        spans, cs, ok = spans_from_masks(smask, emask, cap)
+        cnt, okh = (int(x) for x in jax.device_get((cs, ok)))
         if cnt == 0:
             return _empty_spans_dev(), 0
-        cap = _bucket(cnt, 16)
-        spans, cs, ok = spans_from_masks(smask, emask, cap)
-        if not bool(jax.device_get(ok)):
+        if not okh:
             return None  # pragma: no cover - alignment invariant broken
         return spans, cnt
 
@@ -568,7 +573,7 @@ class BatchEngine:
                                     _memmem_mask, mask_count)
         from ..ops.compact import compact_positions
         from ..ops.dfa_scan import ResetScanner
-        from ..ops.span_kernels import go_select_flex
+
         from ..syntax.ast import Op
         if self._pf_retired:
             return None
@@ -609,8 +614,9 @@ class BatchEngine:
                 if k < n else jnp.zeros(n, dtype=bool)
             flags, exits, conv, interf, (L, T) = sfx.scan_device(
                 dev, rmask)
-            if not bool(jax.device_get(conv)) or bool(
-                    jax.device_get(interf)):
+            convh, interfh = (bool(x) for x in
+                              jax.device_get((conv, interf)))
+            if not convh or interfh:
                 return None  # nested candidates / non-convergence
             flag, eoi_flag = self._flags_with_eoi(
                 flags, n, not litmod.has_looks(sp.suffix_ast))
@@ -636,9 +642,6 @@ class BatchEngine:
             has = ext & (nf_ex < nr_ex)  # interval holds >= 1 flag
             verified = valid_c & jnp.concatenate(
                 [has[k:n], jnp.zeros(k, dtype=bool)])
-        cnt = int(jax.device_get(mask_count(verified)))
-        if cnt == 0:
-            return _empty_spans_dev(), 0
         # run starts abutting a verified candidate: next-nonmember ==
         # next-verified-candidate (lit[0] is a nonmember by the gate)
         nonmember = ~member
@@ -649,13 +652,24 @@ class BatchEngine:
         canbit = (nm_in == vc_in) & (vc_in < n)
         prevm = jnp.concatenate([jnp.zeros(1, dtype=bool), member[:-1]])
         rs_mask = member & ~prevm & canbit
-        cap = _bucket(cnt, 16)
+        # counted cap: the combinatorial bound (n / (m+k)) is loose
+        # enough to triple HBM at corpus scale; one 26 ms count sync
+        # keeps the three compacted arrays tight
+        vcnt = int(jax.device_get(mask_count(verified)))
+        if vcnt == 0:
+            return _empty_spans_dev(), 0
+        cap = _bucket(vcnt, 16)
         c_pos, cc = compact_positions(verified, cap)
         s_pos, cs = compact_positions(rs_mask, cap)
-        okc = bool(jax.device_get(cs == cc))
         if endmask is not None:
             e_pos, ce = compact_positions(endmask, cap)
-            okc &= bool(jax.device_get(ce == cc))
+            cnt, okc = (int(x) for x in jax.device_get(
+                (cc, (cs == cc) & (ce == cc))))
+        else:
+            cnt, okc = (int(x) for x in jax.device_get(
+                (cc, cs == cc)))
+        if cnt == 0:
+            return _empty_spans_dev(), 0
         if not okc:  # pragma: no cover - alignment invariant broken
             return None
         live = jnp.arange(cap, dtype=jnp.int32) < cnt
@@ -665,10 +679,13 @@ class BatchEngine:
             ends = jnp.where(live, e_pos, c_pos + 1)
         smin = s_pos if M == -1 else jnp.maximum(s_pos, c_pos - M)
         smax = c_pos - m
-        sel, ok, starts = go_select_flex(smin, smax, ends, cnt, cap)
-        if not ok:
+        from ..ops.span_kernels import go_select_flex_lazy
+        sel, stable_d, starts, nsel_d = go_select_flex_lazy(
+            smin, smax, ends, cnt, cap)
+        okh, nsel = (x for x in jax.device_get((stable_d, nsel_d)))
+        if not bool(okh):
             return None
-        nsel = int(jax.device_get((sel & live).sum(dtype=jnp.int32)))
+        nsel = int(nsel)
         if nsel == 0:
             return _empty_spans_dev(), 0
         scap = _bucket(nsel, 16)
@@ -708,7 +725,11 @@ class BatchEngine:
         except ValueError:
             return None  # > 32 byte-segments: aux packing gate
         rank = jnp.cumsum(smask.astype(jnp.int32))  # 1-based at cands
-        for K in (4, 16):
+        # density-adaptive interleaving: each candidate's run gets
+        # ~K * spacing bytes of room; sparse candidate sets need less
+        spacing = n // max(cnt, 1)
+        ladder = (2, 4, 16) if spacing >= 48 else (4, 16)
+        for K in ladder:
             parts = []
             ok = True
             scap = _bucket(-(-cnt // K), 16)
@@ -716,9 +737,11 @@ class BatchEngine:
                 sub = smask & ((rank - 1) % K == j)
                 flags, exits, conv, interf, (L, T) = sc.scan_device(
                     dev, sub)
-                if not bool(jax.device_get(conv)):
+                convh, interfh = (bool(x) for x in
+                                  jax.device_get((conv, interf)))
+                if not convh:
                     return None
-                if bool(jax.device_get(interf)):
+                if interfh:
                     ok = False
                     break
                 flag, eoi_flag = self._flags_with_eoi(

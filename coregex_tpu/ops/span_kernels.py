@@ -89,6 +89,17 @@ def go_select_device(starts, ends, cnt: int, cap: int,
     return sel, bool(jax.device_get(stable))
 
 
+def go_select_flex_lazy(smin, smax, ends, cnt: int, cap: int,
+                        max_rounds: int = 24):
+    """go_select_flex without the host sync: returns (sel, stable_dev,
+    starts, nsel_dev) so the caller can bundle the scalars into one
+    device_get."""
+    live = jnp.arange(cap, dtype=jnp.int32) < cnt
+    sel, stable, starts = _go_select_flex_round(smin, smax, ends, live,
+                                                rounds=max_rounds)
+    return sel & live, stable, starts, (sel & live).sum(dtype=jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("lits",))
 def multi_literal_span_masks(dev, lits: Tuple[Tuple[int, ...], ...]):
     """(startmask [n], endmask [n+1]) for an exact literal alternation,

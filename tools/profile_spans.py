@@ -25,7 +25,8 @@ for _k, _v in (("jax_compilation_cache_dir", _CACHE_DIR),
     except Exception:
         pass
 
-from bench import CONFIGS, build_base, _free_config_state  # noqa: E402
+from bench import (CONFIGS, build_base, _free_config_state,  # noqa: E402
+                   _release_device_corpora)
 from coregex_tpu.meta.engine import Engine  # noqa: E402
 
 
@@ -87,6 +88,7 @@ def main():
             print(f"{name:16} FAILED {type(ex).__name__}: {str(ex)[:180]}",
                   flush=True)
         _free_config_state(eng)
+        _release_device_corpora(eng)
 
 
 if __name__ == "__main__":
