@@ -412,6 +412,11 @@ class BatchEngine:
             Strategy.INNER: self._inner_spans_dev,
         }
         b = builders.get(strat)
+        if b is None and strat == Strategy.NULLABLE_CORE:
+            try:
+                return self._nullable_spans_dev(data, n)
+            except DFAOverflow:  # pragma: no cover - core overflow
+                return None
         if b is None:
             return None
         dev = device_corpus(data)
@@ -419,6 +424,52 @@ class BatchEngine:
             return b(dev, n)
         except DFAOverflow:
             return None
+
+    def _nullable_spans_dev(self, data, n):
+        """Device-resident nullable FindAll for [class]+ cores
+        (`\\w*`-family, ASCII corpora): the factorization's matches form
+        an ALIGNED MASK PAIR — starts = run starts ∪ accepted empties,
+        ends = (run ends + 1) ∪ the same empties — disjoint bit sets in
+        strictly interleaved order, so two compactions assemble the
+        merged span list with no sort and no gathers.  (Empties sit at
+        positions that are neither members nor a run's exclusive end —
+        exactly meta/nullable.py's fill rule specialized to min=1
+        class runs; ASCII makes every position a rune boundary.)"""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import (_bucket, _class_mask_from_table,
+                                    mask_count)
+        from ..ops.compact import compact_positions
+        from ..utils.corpus_cache import device_corpus
+        eng = self._core()
+        be = eng.batch_engine()
+        plan = be.plan
+        cc = plan.charclass
+        if (plan.strategy != Strategy.CHARCLASS or cc is None
+                or cc.min != 1 or cc.max != -1 or cc.plus
+                or not corpus_is_ascii(data)):
+            # non-[class]+ cores / UTF-8 corpora keep the host fill
+            # (exact; rune boundaries + covered-interval diff there)
+            return None
+        dev = device_corpus(data)
+        member = _class_mask_from_table(dev, np.array(cc.table,
+                                                     dtype=bool))
+        member_ext = jnp.concatenate([member, jnp.zeros(1, bool)])
+        prev_m = jnp.concatenate([jnp.zeros(1, bool), member_ext[:-1]])
+        runstart = member_ext & ~prev_m
+        runend1 = prev_m & ~member_ext     # exclusive end of each run
+        empties = ~member_ext & ~runend1
+        smask = runstart | empties
+        emask = runend1 | empties
+        total = int(jax.device_get(mask_count(smask)))
+        if total == 0:
+            return _empty_spans_dev(), 0
+        cap = _bucket(total, 16)
+        starts, cs = compact_positions(smask, cap)
+        ends, ce = compact_positions(emask, cap)
+        if not bool(jax.device_get(cs == ce)):  # pragma: no cover
+            return None
+        return jnp.stack([starts, ends], axis=1), total
 
     def _literal_spans_dev(self, dev, n):
         import jax

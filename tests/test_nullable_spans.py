@@ -165,3 +165,32 @@ def test_empty_corpus():
     assert e.find_all_index(b"") == [(0, 0)]
     assert e.count(b"") == 1
     assert e.is_match(b"")
+
+
+def test_nullable_device_builder_class_core():
+    """find_all_spans_device for [class]+ cores: aligned mask-pair merge
+    (runs + empties), exact vs the host walk."""
+    import jax
+    rng = np.random.default_rng(5)
+    corpus = bytes(rng.choice(list(b"ab cd_12 xy\n  z"), size=150_000))
+    arr = np.frombuffer(corpus, dtype=np.uint8)
+    for pat in (r"\w*", r"\d*", r"[a-z]*"):
+        e = Engine.compile(pat)
+        e.batch_threshold = 0
+        h = Engine.compile(pat)
+        h.batch_threshold = 1 << 60
+        r = e.batch_engine().find_all_spans_device(arr)
+        assert r is not None, pat
+        sd, cnt = r
+        got = [(int(a), int(b))
+               for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+        assert got == h._all_spans(arr), pat
+    # UTF-8 corpora fall back (rune boundaries) but stay exact
+    u = "héllo wörld aé ".encode() * 500
+    au = np.frombuffer(u, dtype=np.uint8)
+    e = Engine.compile(r"\w*")
+    e.batch_threshold = 0
+    h = Engine.compile(r"\w*")
+    h.batch_threshold = 1 << 60
+    assert e.batch_engine().find_all_spans_device(au) is None
+    assert e._all_spans(au) == h._all_spans(au)
