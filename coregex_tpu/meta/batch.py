@@ -48,6 +48,27 @@ def _empty_spans_dev():
     return jnp.zeros((16, 2), dtype=jnp.int32)
 
 
+# One chip executes one kernel at a time: concurrent device dispatch
+# gains nothing, and concurrent XLA computations (a shard_map collective
+# racing a span assembly) have crashed the runtime under thread stress —
+# every BatchEngine device entry point serializes on this RLock (host
+# PikeVM paths stay concurrent; reentrant because pipelines call each
+# other).
+import threading as _threading
+
+_DEVICE_LOCK = _threading.RLock()
+
+
+def _device_serial(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with _DEVICE_LOCK:
+            return fn(*a, **kw)
+    return wrapped
+
+
 def go_select(starts: np.ndarray, ends: np.ndarray, n: int,
               data: np.ndarray, limit: int = -1) -> np.ndarray:
     """Non-overlapping leftmost-first selection with Go allMatches
@@ -335,6 +356,7 @@ class BatchEngine:
         return self._sieve
 
     # -- public entry points --------------------------------------------
+    @_device_serial
     def find_all_spans(self, data: np.ndarray, limit: int = -1
                        ) -> np.ndarray:
         """All non-overlapping spans with Go semantics; data is host uint8."""
@@ -412,18 +434,16 @@ class BatchEngine:
             Strategy.INNER: self._inner_spans_dev,
         }
         b = builders.get(strat)
-        if b is None and strat == Strategy.NULLABLE_CORE:
+        if b is None and strat != Strategy.NULLABLE_CORE:
+            return None
+        with _DEVICE_LOCK:
             try:
-                return self._nullable_spans_dev(data, n)
-            except DFAOverflow:  # pragma: no cover - core overflow
+                if b is None:
+                    return self._nullable_spans_dev(data, n)
+                dev = device_corpus(data)
+                return b(dev, n)
+            except DFAOverflow:
                 return None
-        if b is None:
-            return None
-        dev = device_corpus(data)
-        try:
-            return b(dev, n)
-        except DFAOverflow:
-            return None
 
     def _nullable_spans_dev(self, data, n):
         """Device-resident nullable FindAll for [class]+ cores
@@ -941,6 +961,7 @@ class BatchEngine:
             return np.empty((0, 2), dtype=np.int64)
         return np.array([[s, n]], dtype=np.int64)
 
+    @_device_serial
     def is_match(self, data: np.ndarray):
         """True/False, or None when the device path is out of scope
         (caller falls back to the host engine)."""
@@ -1188,6 +1209,7 @@ class BatchEngine:
                         self._sharded_sc = False
         return self._sharded_sc
 
+    @_device_serial
     def nullable_count(self, data: np.ndarray) -> Optional[int]:
         """Device count for NULLABLE patterns via the empty-match-aware
         count transducer (dfa/countdfa.py:build_count_dfa_nullable), or
@@ -1218,6 +1240,7 @@ class BatchEngine:
             else "_count_sc"
         return self._try_scanner(sc, dev, slot)
 
+    @_device_serial
     def count(self, data: np.ndarray) -> int:
         """Match count with device-side fast paths (Count,
         meta/findall.go:297 analogue): most strategies reduce to a single
@@ -1322,6 +1345,7 @@ class BatchEngine:
         return None if sp is None else len(sp)
 
     # -- single-match (Find / FindIndex, meta/find.go:29 analogue) --------
+    @_device_serial
     def find_first(self, data: np.ndarray):
         """Leftmost-first span (start, end), None (no match), or the
         FALLBACK sentinel (host fallback — device scan out of scope or
