@@ -48,15 +48,33 @@ def _empty_spans_dev():
     return jnp.zeros((16, 2), dtype=jnp.int32)
 
 
-# One chip executes one kernel at a time: concurrent device dispatch
-# gains nothing, and concurrent XLA computations (a shard_map collective
-# racing a span assembly) have crashed the runtime under thread stress —
-# every BatchEngine device entry point serializes on this RLock (host
-# PikeVM paths stay concurrent; reentrant because pipelines call each
-# other).
-import threading as _threading
+# Device dispatch serialization, scoped per jax backend (see
+# utils/device_lock.py for the rationale and the crash it guards).
+from ..utils.device_lock import device_lock as _device_lock
 
-_DEVICE_LOCK = _threading.RLock()
+
+class _DeviceLockProxy:
+    """Context manager resolving the CURRENT default backend's lock at
+    enter time (module-import order must not freeze the backend)."""
+
+    def __init__(self):
+        import threading
+        self._tl = threading.local()
+
+    def __enter__(self):
+        lk = _device_lock()
+        # stack, not a slot: the lock is reentrant and so is this proxy
+        getattr(self._tl, "stack", None) or setattr(self._tl, "stack", [])
+        self._tl.stack.append(lk)
+        lk.acquire()
+        return lk
+
+    def __exit__(self, *exc):
+        self._tl.stack.pop().release()
+        return False
+
+
+_DEVICE_LOCK = _DeviceLockProxy()
 
 
 def _device_serial(fn):
@@ -64,7 +82,7 @@ def _device_serial(fn):
 
     @functools.wraps(fn)
     def wrapped(*a, **kw):
-        with _DEVICE_LOCK:
+        with _device_lock():
             return fn(*a, **kw)
     return wrapped
 

@@ -518,8 +518,14 @@ class CountScanner:
         import threading
 
         def work():
+            from ..utils.device_lock import device_lock
             try:
-                self._count_once(data_dev, geometry, "pallas")
+                # hold the device-dispatch lock for the run itself:
+                # concurrent XLA computations have crashed this runtime
+                # (see utils/device_lock.py) and the warm run is a real
+                # device computation racing foreground queries otherwise
+                with device_lock():
+                    self._count_once(data_dev, geometry, "pallas")
                 self._warm_done = True
             except Exception:  # pragma: no cover - compile-env specific
                 self._warm_failed = True

@@ -111,7 +111,11 @@ class _Parser:
                 self.pos += 1
                 return self._literal_char(ord("{"))
             return self._apply_repeat(terms, rep)
-        return self.parse_atom()
+        a = self.parse_atom()
+        if isinstance(a, list):  # \Q..\E rune sequence: splice so a
+            terms.extend(a[:-1])  # quantifier binds only the last rune
+            return a[-1]
+        return a
 
     def _apply_repeat(self, terms: List[Node], op) -> None:
         if not terms:
@@ -335,7 +339,12 @@ class _Parser:
                 text = self.pat[self.pos:end]
                 self.pos = end + 2
             parts = [self._literal_char(ord(ch)) for ch in text]
-            return concat(self._coalesce_literals(parts)) if parts else Node(Op.EMPTY)
+            if not parts:
+                return Node(Op.EMPTY)
+            # Go pushes \Q runes individually, so a following quantifier
+            # binds only the LAST rune (\Qab\E* == ab*); parse_term
+            # splices the list into the surrounding concat.
+            return parts
         if c == "E":
             return Node(Op.EMPTY)
         if c == "x":

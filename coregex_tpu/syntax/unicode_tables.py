@@ -61,7 +61,15 @@ def _script_ranges(name: str) -> Optional[Ranges]:
     """Vendored script lookup.  Accepts Go's canonical spellings
     (`Old_Italic`, `Yi`, ...) case/separator-insensitively, like the
     Unicode loose-matching rule; the leading-uppercase requirement in
-    lookup() keeps Go's `\\p{latin}`-is-an-error behavior."""
+    lookup() keeps Go's `\\p{latin}`-is-an-error behavior.
+
+    DOCUMENTED DEVIATION (accept-superset only): Unicode loose matching
+    admits spellings Go's exact `unicode.Scripts` map rejects
+    (`\\p{LATIN}`, `\\p{Olditalic}`, 4-letter ISO codes).  Every pattern
+    Go accepts parses identically; no Go-valid pattern is rejected or
+    reinterpreted.  The generated tables carry only normalized alias
+    keys, so exact-spelling enforcement would need the UCD
+    PropertyValueAliases file vendored besides."""
     norm = "".join(ch for ch in name.upper() if ch.isalnum())
     idx = SCRIPT_ALIASES.get(norm)
     if idx is None:

@@ -57,6 +57,19 @@ def test_quote_escape():
     assert p.ast.op in (Op.LITERAL, Op.CONCAT)
 
 
+def test_quote_escape_quantifier_binds_last_rune():
+    # Go pushes \Q runes individually: \Qab\E* == ab* (quantifier on the
+    # last rune only), and the pattern is NOT nullable (advisor r4)
+    from coregex_tpu.meta.engine import Engine
+    eng = Engine.compile(r"\Qab\E*")
+    spans = [tuple(s) for s in eng.find_all_index(b"abab x ab")]
+    assert spans == [(0, 2), (2, 4), (7, 9)], spans
+    eng2 = Engine.compile(r"x\Qab\E+y")  # == xab+y
+    assert eng2.find_index(b"xabby") == (0, 5)
+    assert eng2.find_index(b"xababy") is None
+    assert eng2.find_index(b"xay") is None
+
+
 def test_unicode_class():
     p = parse(r"\p{L}+")
     assert p.ast.op in (Op.PLUS,)
