@@ -145,30 +145,69 @@ def oracle_span_digest(pattern: str, base: bytes, reps: int):
     return (reps * m0, (reps * s0 + toff) % M, (reps * e0 + toff) % M)
 
 
-def span_digest_device(spans_dev, cnt):
-    """One fused device reduction: wraparound sums of starts/ends over
-    the first cnt spans + a strict order/non-overlap flag; a single
-    scalar sync verifies the whole extraction without shipping spans
-    over the ~30 MB/s host link."""
+def _dig_jit():
+    # module-level jitted digest: a nested @jax.jit def would be a NEW
+    # function object per call -> full retrace every call (~30 ms)
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def dig(spans, cnt):
+    def dig(spans, cnt, okx, sidx):
         cap = spans.shape[0]
+        cnt = cnt.astype(jnp.int32)
         live = jnp.arange(cap, dtype=jnp.int32) < cnt
         s = jnp.where(live, spans[:, 0], 0)
         e = jnp.where(live, spans[:, 1], 0)
         ssum = s.astype(jnp.uint32).sum(dtype=jnp.uint32)
         esum = e.astype(jnp.uint32).sum(dtype=jnp.uint32)
-        ok = jnp.all(jnp.where(live, spans[:, 0] < spans[:, 1], True))
+        ok = okx & jnp.all(
+            jnp.where(live, spans[:, 0] < spans[:, 1], True))
         live2 = jnp.arange(cap - 1, dtype=jnp.int32) < cnt - 1
         ok &= jnp.all(jnp.where(live2, spans[1:, 0] >= spans[:-1, 1],
                                 True))
-        return ssum, esum, ok
+        samp = spans[jnp.minimum(sidx, cap - 1)]
+        return ssum, esum, ok, samp, cnt
 
-    ssum, esum, ok = jax.device_get(dig(spans_dev, jnp.int32(cnt)))
-    return int(ssum), int(esum), bool(ok)
+    return dig
+
+
+_DIG = None
+
+
+def span_digest_device(spans_dev, cnt, ok_dev=None, sample_idx=None):
+    """One fused device reduction: wraparound sums of starts/ends over
+    the first cnt spans + a strict order/non-overlap flag + the
+    builder's deferred validation flag + K sampled spans — ONE scalar
+    sync verifies the whole extraction without shipping spans over the
+    ~30 MB/s host link (sampled spans are a few hundred bytes)."""
+    global _DIG
+    import jax
+    import jax.numpy as jnp
+    if _DIG is None:
+        _DIG = _dig_jit()
+    okx = jnp.bool_(True) if ok_dev is None else ok_dev
+    if sample_idx is None:
+        sample_idx = jnp.zeros(1, dtype=jnp.int32)
+    # NOTE: pass sample_idx as a DEVICE array (device_put once, outside
+    # timing loops) — a host array here costs a blocking ~25 ms H2D
+    # round trip through the axon tunnel per call
+    cnt_in = jnp.int32(cnt) if isinstance(cnt, int) else cnt
+    ssum, esum, ok, samp, cnt_h = jax.device_get(
+        _DIG(spans_dev, cnt_in, okx, sample_idx))
+    return int(ssum), int(esum), bool(ok), np.asarray(samp), int(cnt_h)
+
+
+def oracle_sample_spans(pattern, base, sample_idx):
+    """Exact expected spans at the given GLOBAL match indices of the
+    tiled corpus (tile t's spans are base spans + t*len(base))."""
+    spans = [m.span() for m in re.finditer(pattern.encode("ascii"), base)]
+    m0 = len(spans)
+    B = len(base)
+    out = []
+    for g in sample_idx:
+        t, j = divmod(int(g), m0)
+        out.append((spans[j][0] + t * B, spans[j][1] + t * B))
+    return np.array(out, dtype=np.int64)
 
 
 def _release_device_corpora(eng):
@@ -264,37 +303,61 @@ def main():
         fa_ms = fa_gbps = fa_ratio = None
         fa_ok = True
         fa_mode = "none"
-        # find_all runs on a bounded slice: the device span assembly
-        # holds several corpus-sized int32 intermediates, so a 1.5 GB
-        # corpus exceeds HBM; ~40 tiles (~256 MB) amortize the ~26 ms
-        # sync floor while staying comfortably resident.  The count
-        # phase's full-corpus device buffers are dropped first.
-        fa_reps = min(reps, max(1, (256 * 1024 * 1024) // len(base)))
+        # find_all slice: as much of the corpus as the device span
+        # assembly can hold — the sparse-chain families (round 5) run at
+        # full corpus scale; output-dense configs (charclass_w-style)
+        # are bounded by span-buffer memory (~28 B/span), and round-4
+        # families by their corpus-sized int32 intermediates.  The
+        # count phase's exact density picks the largest admissible
+        # tile-aligned slice; the sync floor (~26 ms/round trip)
+        # amortizes over it.
+        be = eng.batch_engine()
+        m0 = oracle_count(pattern, base)
+        SPAN_BUDGET = 96 * 1024 * 1024
+        try:
+            fam_limit = be._spans_limit(be.plan.strategy)
+        except Exception:
+            fam_limit = 448 * 1024 * 1024
+        fa_reps = min(reps, max(1, SPAN_BUDGET // max(m0, 1)),
+                      max(1, fam_limit // len(base)))
         fa_arr = arr[:fa_reps * len(base)]
         fa_n = len(fa_arr)
         _release_device_corpora(eng)
         try:
-            be = eng.batch_engine()
-            r = be.find_all_spans_device(fa_arr)
+            r = be.find_all_spans_device(fa_arr, defer_ok=True)
             if r is not None:
-                sd, fcnt = r
+                rng_s = np.random.default_rng(123)
+                sd, fcnt, okd = r
+                fcnt_h = (int(jax.device_get(fcnt))
+                          if not isinstance(fcnt, int) else fcnt)
+                sidx_h = (rng_s.integers(0, max(fcnt_h, 1), 64)
+                          .astype(np.int32))
+                import jax.numpy as _jnp
+                sidx = jax.device_put(_jnp.asarray(sidx_h))
                 t0 = time.perf_counter()
-                dig = span_digest_device(sd, fcnt)
+                dig = span_digest_device(sd, fcnt, okd, sidx)
                 _ = time.perf_counter() - t0
                 times = []
                 for _i in range(2):
                     t0 = time.perf_counter()
-                    r2 = be.find_all_spans_device(fa_arr)
-                    sd2, fcnt2 = r2
-                    dig = span_digest_device(sd2, fcnt2)
+                    r2 = be.find_all_spans_device(fa_arr, defer_ok=True)
+                    sd2, fcnt2, okd2 = r2
+                    dig = span_digest_device(sd2, fcnt2, okd2, sidx)
                     times.append(time.perf_counter() - t0)
                 fa_ms = min(times) * 1e3
                 fa_mode = "device"
                 if check_parity:
                     em, es, ee = oracle_span_digest(pattern, base,
                                                     fa_reps)
-                    fa_ok = (fcnt2 == em and dig[0] == es
+                    fa_ok = (dig[4] == em and dig[0] == es
                              and dig[1] == ee and dig[2])
+                    if fa_ok and em:
+                        # exact-span sampling: 64 random spans compared
+                        # byte-exactly to the oracle (verdict item 7)
+                        exp_s = oracle_sample_spans(pattern, base,
+                                                    sidx_h)
+                        fa_ok = bool((dig[3].astype(np.int64)
+                                      == exp_s).all())
             else:
                 t0 = time.perf_counter()
                 sp = be.find_all_spans(fa_arr, -1)
@@ -311,7 +374,7 @@ def main():
             fa_mode = f"error:{type(ex).__name__}"
             fa_ok = False
         if check_parity:
-            expect = reps * oracle_count(pattern, base)
+            expect = reps * m0
             ok = (cnt == expect)
         else:
             expect = None

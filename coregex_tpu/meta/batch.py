@@ -48,6 +48,38 @@ def _empty_spans_dev():
     return jnp.zeros((16, 2), dtype=jnp.int32)
 
 
+_CHOP_JIT = None
+
+
+def _chop_runs(spans, cap: int, cnt: int, mn: int, mx: int):
+    """([c]{m,k})+ whole-run form applied to maximal-run spans: greedy
+    k-chunks plus the remainder iff >= m (the host path's arithmetic,
+    vectorized on hit-sized arrays).  Dead rows (end==start) map to
+    themselves.
+
+    The jit wrapper is module-cached: a nested @jax.jit def would be a
+    NEW function object per call — zero cache hits, one fresh LLVM
+    executable per call, and eventually mmap exhaustion (this crashed
+    the full CPU suite with 'LLVM compilation error: Cannot allocate
+    memory')."""
+    global _CHOP_JIT
+    if _CHOP_JIT is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("mn", "mx"))
+        def chop(spans, mn: int, mx: int):
+            s, e = spans[:, 0], spans[:, 1]
+            L = e - s
+            r = L % mx
+            M = L - jnp.where(r < mn, r, 0)
+            return jnp.stack([s, s + M], axis=1)
+
+        _CHOP_JIT = chop
+    return _CHOP_JIT(spans, mn, mx)
+
+
 # Device dispatch serialization, scoped per jax backend (see
 # utils/device_lock.py for the rationale and the crash it guards).
 from ..utils.device_lock import device_lock as _device_lock
@@ -296,6 +328,9 @@ class BatchEngine:
         self._pf_hits = 0  # runtime prefilter tracker (tracker.go:37)
         self._pf_seen = 0
         self._pf_retired = False
+        # per-corpus-fingerprint match counts: sizes warm find_all
+        # compaction caps without a count sync (find_all_spans_device)
+        self._spans_cnt_cache = {}
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -419,29 +454,64 @@ class BatchEngine:
         raise RuntimeError("host strategy should not reach BatchEngine")
 
     # -- device-resident span assembly -----------------------------------
-    # Spans as [cap,2] int32 DEVICE arrays: built from aligned start/end
-    # mask pairs (ops/span_kernels.py) or device window verification,
-    # compacted by the Mosaic kernel, validated on device.  The host
-    # find_all_spans fetches from these when available; the bench times
-    # them directly (device-resident results + device checksums — the
-    # 30 MB/s axon host link is an artifact of this rig, not the TPU).
-    # device span assembly holds several corpus-sized int32 intermediates
-    # (line bounds, running maxima, interval arrays); past this size they
-    # exceed HBM in one piece and the chunked host pipelines take over.
-    # (Segmented mask algebra with carried scan states is the planned
-    # lift; the limit is env-tunable for experiments.)
+    # Spans as [cap,2] int32 DEVICE arrays.  Round 5: the sparse-chain
+    # families (ops/span_chain.py) run bool-only mask algebra fused into
+    # word-packing, so their footprint is corpus + n/8 words + hit-sized
+    # buffers — they extract at full corpus scale, gated only by the
+    # span-count cap below.  Families still on the round-4 pipelines
+    # (line shapes, INNER, candidate verification) hold corpus-sized
+    # int32 intermediates and keep the 448 MB corpus limit.  Both
+    # env-tunable for experiments.
     DEVICE_SPANS_LIMIT = int(os.environ.get(
         "COREGEX_TPU_DEV_SPANS_LIMIT", str(448 * 1024 * 1024)))
+    SPARSE_SPANS_LIMIT = int(os.environ.get(
+        "COREGEX_TPU_SPARSE_SPANS_LIMIT", str(1600 * 1024 * 1024)))
+    # device span assembly is output-bound too: each span costs ~28
+    # bytes across the result + chain buffers; past this count the host
+    # chunked pipelines take over (they stream any size)
+    MAX_DEVICE_SPANS = int(os.environ.get(
+        "COREGEX_TPU_MAX_DEV_SPANS", str(128 * 1024 * 1024)))
 
-    def find_all_spans_device(self, data: np.ndarray):
+    _SPARSE_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
+                        "NULLABLE_CORE")
+
+    def _spans_limit(self, strat) -> int:
+        if strat.name in self._SPARSE_FAMILIES:
+            return self.SPARSE_SPANS_LIMIT
+        return self.DEVICE_SPANS_LIMIT
+
+    @staticmethod
+    def _resolve_cnt(cnt_dev, known_cnt):
+        """(host count for cap sizing, count to return).  Cold path
+        syncs; warm path (known_cnt from the per-corpus cache) skips the
+        sync and returns the DEVICE scalar for the caller to fold into
+        its own final sync — the chains' ok flag still catches any
+        cap overflow if the cache were ever stale."""
+        if known_cnt is None:
+            import jax
+            c = int(jax.device_get(cnt_dev))
+            return c, c
+        return known_cnt, cnt_dev
+
+    # strategies whose builders accept known_cnt (warm sync-free path)
+    _WARM_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS")
+
+    def find_all_spans_device(self, data: np.ndarray,
+                              defer_ok: bool = False):
         """(spans_dev [cap,2] int32, count int) or None (out of scope /
-        validation failed -> host pipelines)."""
+        validation failed -> host pipelines).  With defer_ok=True,
+        returns (spans_dev, count, ok) where ok is a DEVICE bool (or
+        None when the builder validated internally) and count may be a
+        DEVICE scalar on the warm path: the caller folds both into its
+        own final sync instead of paying one here.  Warm = this engine
+        already extracted on a corpus with the same fingerprint, whose
+        cached count sizes the compaction caps sync-free."""
         import jax
-        from ..utils.corpus_cache import device_corpus
+        from ..utils.corpus_cache import _fingerprint, device_corpus
         n = len(data)
-        if n == 0 or n > self.DEVICE_SPANS_LIMIT:
-            return None
         strat = self.plan.strategy
+        if n == 0 or n > self._spans_limit(strat):
+            return None
         builders = {
             Strategy.CHARCLASS: self._charclass_spans_dev,
             Strategy.LITERAL: self._literal_spans_dev,
@@ -454,14 +524,36 @@ class BatchEngine:
         b = builders.get(strat)
         if b is None and strat != Strategy.NULLABLE_CORE:
             return None
+        warm = strat.name in self._WARM_FAMILIES
+        fp = _fingerprint(data) if warm else None
+        known = self._spans_cnt_cache.get(fp) if (warm and defer_ok) \
+            else None
         with _DEVICE_LOCK:
             try:
                 if b is None:
-                    return self._nullable_spans_dev(data, n)
-                dev = device_corpus(data)
-                return b(dev, n)
+                    r = self._nullable_spans_dev(data, n)
+                elif warm:
+                    dev = device_corpus(data)
+                    r = b(dev, n, known_cnt=known)
+                else:
+                    dev = device_corpus(data)
+                    r = b(dev, n)
             except DFAOverflow:
                 return None
+            if r is None:
+                return None
+            if len(r) == 2:  # round-4 builders validate internally
+                spans, cnt = r
+                ok = None
+            else:
+                spans, cnt, ok = r
+            if warm and known is None and isinstance(cnt, int):
+                self._spans_cnt_cache[fp] = cnt
+            if defer_ok:
+                return spans, cnt, ok
+            if ok is not None and not bool(jax.device_get(ok)):
+                return None
+            return spans, cnt
 
     def _nullable_spans_dev(self, data, n):
         """Device-resident nullable FindAll for [class]+ cores
@@ -509,88 +601,119 @@ class BatchEngine:
             return None
         return jnp.stack([starts, ends], axis=1), total
 
-    def _literal_spans_dev(self, dev, n):
+    def _literal_spans_dev(self, dev, n, known_cnt=None):
+        """One fused mask->words dispatch + count sync + sparse chain:
+        extraction cost ~ matches, not corpus (round 5; the reference's
+        scan-and-append loop is meta/findall.go:176-283)."""
         import jax
         import jax.numpy as jnp
-        from ..ops.bytescan import (_bucket, _memmem_mask, mask_count,
-                                    literal_self_overlaps)
-        from ..ops.compact import compact_positions
+        from ..ops.bytescan import _bucket, literal_self_overlaps
+        from ..ops.span_chain import (SPARSE_OK, literal_words,
+                                      literal_spans_sparse)
         lit = self.plan.literals[0]
         k = len(lit)
         if literal_self_overlaps(lit):
             return None  # overlap selection: host walk
-        smask = _memmem_mask(dev, tuple(lit))
-        # sync-free cap: non-overlapping k-byte hits number <= n/k
-        cap = _bucket(max(n // k, 16), 16)
-        starts, cnt_dev = compact_positions(smask, cap)
-        cnt = int(jax.device_get(cnt_dev))
+        words, cnt_dev = literal_words(dev, tuple(lit))
+        cnt, ret_cnt = self._resolve_cnt(cnt_dev, known_cnt)
         if cnt == 0:
-            return _empty_spans_dev(), 0
-        live = jnp.arange(cap, dtype=jnp.int32) < cnt
-        ends = jnp.where(live, starts + k, starts)
-        return jnp.stack([starts, ends], axis=1), cnt
+            return _empty_spans_dev(), 0, None
+        if cnt > self.MAX_DEVICE_SPANS:
+            return None
+        cap = _bucket(cnt, 16)
+        if cnt / n < SPARSE_OK:
+            spans, _, ok = literal_spans_sparse(words, n, cap, k)
+        else:  # dense hits: single-level kernel over the rebuilt mask
+            from ..ops.bytescan import _memmem_mask
+            from ..ops.compact2 import compact_pay
+            starts, _, ok = compact_pay(_memmem_mask(dev, tuple(lit)),
+                                        (), cap)
+            live = jnp.arange(cap, dtype=jnp.int32) < cnt
+            ends = jnp.where(live, starts + k, starts)
+            spans = jnp.stack([starts, ends], axis=1)
+        return spans, ret_cnt, ok
 
-    def _charclass_spans_dev(self, dev, n):
+    def _charclass_spans_dev(self, dev, n, known_cnt=None):
+        """Run masks fused into word-packing + count sync + two sparse
+        chains (round 5); the {m,k}+ chopping arithmetic stays a
+        hit-sized XLA epilogue."""
         import jax
         import jax.numpy as jnp
-        from ..ops.bytescan import (_bucket, _class_mask_from_table,
-                                    _run_masks, mask_count)
-        from ..ops.compact import compact_positions
+        from ..ops.bytescan import _bucket, table_to_ranges
+        from ..ops.span_chain import (SPARSE_OK, class_run_words,
+                                      pair_spans_sparse)
         cc = self.plan.charclass
         plain = cc.min == 1 and cc.max == -1 and not cc.plus
         if not (plain or cc.plus):
             return None  # general {m,k} chopping: host
-        mask = _class_mask_from_table(dev, np.array(cc.table, dtype=bool))
-        smask, emask = _run_masks(mask)
-        if cc.plus and cc.min > 1:
-            # drop runs shorter than min via AND-of-shifts on the member
-            # mask (no filtering pass): a valid start has m members
-            # ahead, a valid end has m members behind
-            m = cc.min
-            ok_fwd = mask
-            ok_bwd = mask
-            for j in range(1, m):
-                z = jnp.zeros(j, dtype=bool)
-                ok_fwd = ok_fwd & jnp.concatenate([mask[j:], z])
-                ok_bwd = ok_bwd & jnp.concatenate([z, mask[:-j]])
-            smask = smask & ok_fwd
-            emask = emask & ok_bwd
-        # sync-free cap: maximal runs number <= (n+1)//2
-        cap = _bucket(max((n + 1) // 2, 16), 16)
-        starts, cnt_dev = compact_positions(smask, cap)
-        lasts, _ = compact_positions(emask, cap)
-        cnt = int(jax.device_get(cnt_dev))
+        mmin = cc.min if (cc.plus and cc.min > 1) else 1
+        ranges = table_to_ranges(np.array(cc.table, dtype=bool))
+        ws, we, cs_dev, ce_dev = class_run_words(dev, ranges, mmin)
+        cnt, ret_cnt = self._resolve_cnt(cs_dev, known_cnt)
         if cnt == 0:
-            return _empty_spans_dev(), 0
-        live = jnp.arange(cap, dtype=jnp.int32) < cnt
-        if plain:
-            ends = jnp.where(live, lasts + 1, starts)
+            return _empty_spans_dev(), 0, None
+        if cnt > self.MAX_DEVICE_SPANS:
+            return None
+        cap = _bucket(cnt, 16)
+        if cnt / n < SPARSE_OK:
+            spans, _, ok = pair_spans_sparse(ws, we, n, n, cap,
+                                             end_adjust=1)
         else:
+            spans, ok = self._charclass_dense_pair(dev, ranges, mmin,
+                                                   cap, cnt)
+        if not plain:
             # ([c]{m,k})+ whole-run form: greedy k-chunks + remainder
             # iff >= m (same arithmetic as the host path, vectorized)
-            L = lasts + 1 - starts
-            r = L % cc.max
-            M = L - jnp.where(r < cc.min, r, 0)
-            ends = jnp.where(live, starts + M, starts)
-        return jnp.stack([starts, ends], axis=1), cnt
+            spans = _chop_runs(spans, cap, cnt, cc.min, cc.max)
+        return spans, ret_cnt, ok
 
-    def _multi_literal_spans_dev(self, dev, n):
+    @staticmethod
+    def _charclass_dense_pair(dev, ranges, mmin, cap, cnt):
+        """Dense-run fallback: single-level compaction over the full
+        masks (charclass_w-style corpora where every other byte starts
+        a run and the sparse chain degenerates)."""
+        import jax.numpy as jnp
+        from ..ops.bytescan import _range_mask
+        from ..ops.compact2 import compact_pay
+        from ..ops.span_chain import class_run_masks_dense
+        smask, emask = class_run_masks_dense(dev, ranges, mmin)
+        starts, _, ok1 = compact_pay(smask, (), cap)
+        lasts, _, ok2 = compact_pay(emask, (), cap)
+        live = jnp.arange(cap, dtype=jnp.int32) < cnt
+        ends = jnp.where(live, lasts + 1, starts)
+        return jnp.stack([starts, ends], axis=1), ok1 & ok2
+
+    def _multi_literal_spans_dev(self, dev, n, known_cnt=None):
+        """All-bool win-mask algebra fused into word-packing + count
+        sync + two sparse chains (round 5); alignment validation (the
+        overlapping-hits -> host-walk gate) rides the chains' ok flag."""
         import jax
-        from ..ops.bytescan import _bucket, mask_count
-        from ..ops.span_kernels import (multi_literal_span_masks,
-                                        spans_from_masks)
+        from ..ops.bytescan import _bucket
+        from ..ops.span_chain import (SPARSE_OK, multi_literal_words,
+                                      pair_spans_sparse)
         lits = tuple(tuple(l) for l in self.plan.literals)
-        kmin = min(len(l) for l in self.plan.literals)
-        smask, emask = multi_literal_span_masks(dev, lits)
-        # sync-free cap: hits number <= n/shortest-literal
-        cap = _bucket(max(n // max(kmin, 1), 16), 16)
-        spans, cs, ok = spans_from_masks(smask, emask, cap)
-        cnt, okh = (int(x) for x in jax.device_get((cs, ok)))
+        ws, we, cs_dev, ce_dev = multi_literal_words(dev, lits)
+        if known_cnt is None:
+            cnt, cnte = (int(x) for x in
+                         jax.device_get((cs_dev, ce_dev)))
+            ret_cnt = cnt
+            if cnt and cnt != cnte:
+                return None  # overlapping hits: host selection walk
+        else:  # warm: same corpus fingerprint -> same verdicts
+            cnt, ret_cnt = known_cnt, cs_dev
         if cnt == 0:
-            return _empty_spans_dev(), 0
-        if not okh:
-            return None  # overlapping hits: host selection walk
-        return spans, cnt
+            return _empty_spans_dev(), 0, None
+        if cnt > self.MAX_DEVICE_SPANS:
+            return None
+        cap = _bucket(cnt, 16)
+        if cnt / n >= SPARSE_OK:
+            return None  # denser than any real literal corpus: host
+        spans, _, ok = pair_spans_sparse(ws, we, n, n + 1, cap)
+        if known_cnt is None:
+            if not bool(jax.device_get(ok)):
+                return None  # overlapping hits: host selection walk
+            return spans, cnt, None
+        return spans, ret_cnt, ok
 
     def _line_shape_spans_dev(self, dev, n):
         import jax

@@ -58,6 +58,8 @@ def main():
 
     if variant == "check":
         return check()
+    if variant == "prod":
+        return prod()
 
     kw = dict(VARIANTS[variant])
     npay = kw.get("npay", 0)
@@ -124,6 +126,42 @@ def check():
             assert (pos[nh:] >= n).all(), (trial, kw)
         print(f"trial {trial} R={R} n={n} hits={nh}: ok")
     print("check: all ok")
+
+
+
+def prod():
+    # production-path timing: ops/compact2 on the real chip
+    import jax.numpy as jnp
+    from coregex_tpu.ops.compact2 import sparse_positions, compact_pay
+    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    dens = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0 / 200
+    n = mb * 1024 * 1024
+    rng = np.random.default_rng(11)
+    mask = (rng.random(n) < dens)
+    nhits = int(mask.sum())
+    cap = -(-max(nhits, 16) // 16) * 16
+    m_dev = jax.device_put(jnp.asarray(mask))
+    for name, fn in (("sparse", lambda: sparse_positions(m_dev, cap)),
+                     ("dense", lambda: compact_pay(m_dev, (), cap))):
+        t0 = time.perf_counter()
+        out = fn()
+        got = int(jax.device_get(out[-2]))
+        print(f"  {name} compile+first: {time.perf_counter()-t0:.1f}s "
+              f"cnt={got}", file=sys.stderr)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            got = int(jax.device_get(out[-2]))
+            times.append(time.perf_counter() - t0)
+        ms = min(times) * 1e3
+        k = min(100000, nhits)
+        exp = np.flatnonzero(mask)[:k]
+        gotpos = np.asarray(jax.device_get(out[0][:k]))
+        ok = bool((gotpos == exp).all()) and got == nhits \
+            and bool(jax.device_get(out[-1]))
+        print(f"{name}: {ms:.2f} ms ({n/1e9/(ms/1e3):.2f} GB/s) "
+              f"{'ok' if ok else 'MISMATCH'}")
 
 
 if __name__ == "__main__":
