@@ -262,20 +262,23 @@ def main():
     fa_ratios = []
     fa_gbps_all = []
     results = {}
+    engines = {}
     parity_all = True
     failures = []
+
+    # ---- Phase 1: counts (full corpus) --------------------------------
+    # All counts run before any find_all: a device OOM poisons the
+    # PROCESS (later compiles fail RESOURCE_EXHAUSTED — this vaporized
+    # 12/13 configs once), and span assembly is the risky phase, so it
+    # goes last.
     for name, pattern, ref_ms, src in CONFIGS:
         if time.time() - _T0 > BUDGET_S:
             print(f"  {name}: skipped (budget)", file=sys.stderr)
             continue
-        # One config's failure (OOM, compile timeout, kernel bug) must
-        # never vaporize the rest: guard compile+run per config and free
-        # per-config device state before moving on.
         eng = None
         try:
             eng = Engine.compile(pattern)
             eng.batch_threshold = 0
-            # warmup (jit compile)
             t0 = time.perf_counter()
             cnt = eng.count(arr)
             warm = time.perf_counter() - t0
@@ -293,31 +296,61 @@ def main():
                                  f"{str(ex)[:200]}")
             _free_config_state(eng)
             continue
-        # find_all: device-resident span extraction (the reference's
-        # headline numbers time extraction, README.md:68-79) — spans
-        # assemble on device; parity via analytic tiled checksums in
-        # one scalar sync.  Host materialization is gated by the
-        # ~30 MB/s axon host link (a property of this rig's tunnel,
-        # not of TPU hardware), so the extraction number is the
-        # device-resident one; find_all_mode records which path ran.
+        m0 = oracle_count(pattern, base)
+        if check_parity:
+            expect = reps * m0
+            ok = (cnt == expect)
+        else:
+            expect = None
+            ok = True
+        gbps = n / best / 1e9
+        per6_ms = best * 1e3 / scale
+        ratio = ref_ms / per6_ms
+        ratios.append(ratio)
+        gbps_all.append(gbps)
+        results[name] = dict(ms=best * 1e3, per6_ms=per6_ms, gbps=gbps,
+                             ref_ms=ref_ms, vs_ref=ratio, count=cnt,
+                             expect=expect, strategy=eng.strategy,
+                             parity=ok, findall_ms=None,
+                             findall_gbps=None, findall_vs_ref=None,
+                             findall_mode="none")
+        engines[name] = (eng, m0, ok)
+        parity_all = parity_all and ok
+        print(f"  {name:16} {best*1e3:8.2f} ms ({per6_ms:7.2f}/6MB)"
+              f"  {gbps:7.2f} GB/s  vs_ref {ratio:6.2f}x"
+              f"  n={cnt} [{eng.strategy}] warm={warm:.1f}s"
+              f"  {'ok' if ok else 'PARITY FAIL exp=%s' % expect}",
+              file=sys.stderr)
+        _free_config_state(eng)
+
+    # ---- Phase 2: find_all (density-adaptive slices) ------------------
+    # The reference's headline numbers time match EXTRACTION
+    # (README.md:68-79): spans assemble on device, parity via analytic
+    # tiled checksums + 64 sampled spans compared byte-exactly, one
+    # scalar sync.  Slice policy: the sparse-chain families (round 5)
+    # run at full corpus scale bounded by a span-count budget; the
+    # round-4 pipelines hold corpus-sized int32 intermediates and keep
+    # the proven 256 MB slice.
+    SPAN_BUDGET = 96 * 1024 * 1024
+    LEGACY_SLICE = 256 * 1024 * 1024
+    for name, pattern, ref_ms, src in CONFIGS:
+        if name not in engines:
+            continue
+        if time.time() - _T0 > BUDGET_S:
+            print(f"  {name}: findall skipped (budget)", file=sys.stderr)
+            continue
+        eng, m0, ok = engines[name]
         fa_ms = fa_gbps = fa_ratio = None
         fa_ok = True
         fa_mode = "none"
-        # find_all slice: as much of the corpus as the device span
-        # assembly can hold — the sparse-chain families (round 5) run at
-        # full corpus scale; output-dense configs (charclass_w-style)
-        # are bounded by span-buffer memory (~28 B/span), and round-4
-        # families by their corpus-sized int32 intermediates.  The
-        # count phase's exact density picks the largest admissible
-        # tile-aligned slice; the sync floor (~26 ms/round trip)
-        # amortizes over it.
-        be = eng.batch_engine()
-        m0 = oracle_count(pattern, base)
-        SPAN_BUDGET = 96 * 1024 * 1024
         try:
-            fam_limit = be._spans_limit(be.plan.strategy)
+            be = eng.batch_engine()
+            strat = be.plan.strategy
+            sparse_fam = strat.name in be._SPARSE_FAMILIES
+            fam_limit = (be._spans_limit(strat) if sparse_fam
+                         else min(be._spans_limit(strat), LEGACY_SLICE))
         except Exception:
-            fam_limit = 448 * 1024 * 1024
+            fam_limit = LEGACY_SLICE
         fa_reps = min(reps, max(1, SPAN_BUDGET // max(m0, 1)),
                       max(1, fam_limit // len(base)))
         fa_arr = arr[:fa_reps * len(base)]
@@ -373,40 +406,24 @@ def main():
         except Exception as ex:  # pragma: no cover - device specific
             fa_mode = f"error:{type(ex).__name__}"
             fa_ok = False
-        if check_parity:
-            expect = reps * m0
-            ok = (cnt == expect)
-        else:
-            expect = None
-            ok = True
         ok = ok and fa_ok
-        parity_all = parity_all and ok
-        gbps = n / best / 1e9
-        per6_ms = best * 1e3 / scale
-        ratio = ref_ms / per6_ms
-        ratios.append(ratio)
-        gbps_all.append(gbps)
+        parity_all = parity_all and fa_ok
         if fa_ms is not None:
             fa_scale = (fa_n / 1e6) / REF_MB
             fa_gbps = fa_n / (fa_ms / 1e3) / 1e9
             fa_ratio = ref_ms / (fa_ms / fa_scale)
             fa_ratios.append(fa_ratio)
             fa_gbps_all.append(fa_gbps)
-        results[name] = dict(ms=best * 1e3, per6_ms=per6_ms, gbps=gbps,
-                             ref_ms=ref_ms, vs_ref=ratio, count=cnt,
-                             expect=expect, strategy=eng.strategy,
-                             parity=ok, findall_ms=fa_ms,
+        results[name].update(parity=ok, findall_ms=fa_ms,
                              findall_gbps=fa_gbps,
                              findall_vs_ref=fa_ratio,
                              findall_mode=fa_mode)
-        print(f"  {name:16} {best*1e3:8.2f} ms ({per6_ms:7.2f}/6MB)"
-              f"  {gbps:7.2f} GB/s  vs_ref {ratio:6.2f}x"
-              f"  | findall "
+        print(f"  {name:16} findall "
               + (f"{fa_ms:8.1f} ms {fa_gbps:6.2f} GB/s "
-                 f"vs_ref {fa_ratio:5.2f}x [{fa_mode}]"
+                 f"vs_ref {fa_ratio:5.2f}x [{fa_mode}] "
+                 f"slice={fa_n//(1024*1024)}MB"
                  if fa_ms is not None else f"[{fa_mode}]")
-              + f"  n={cnt} [{eng.strategy}] warm={warm:.1f}s"
-              f"  {'ok' if ok else 'PARITY FAIL exp=%s' % expect}",
+              + f"  {'ok' if fa_ok else 'PARITY FAIL'}",
               file=sys.stderr)
         _free_config_state(eng)
 

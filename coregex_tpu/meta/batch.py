@@ -473,28 +473,31 @@ class BatchEngine:
         "COREGEX_TPU_MAX_DEV_SPANS", str(128 * 1024 * 1024)))
 
     _SPARSE_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
-                        "NULLABLE_CORE")
+                        "NULLABLE_CORE", "LINE_SHAPE")
 
     def _spans_limit(self, strat) -> int:
         if strat.name in self._SPARSE_FAMILIES:
             return self.SPARSE_SPANS_LIMIT
         return self.DEVICE_SPANS_LIMIT
 
-    @staticmethod
-    def _resolve_cnt(cnt_dev, known_cnt):
+    def _resolve_cnt(self, cnt_dev, known_cnt, fp=None):
         """(host count for cap sizing, count to return).  Cold path
-        syncs; warm path (known_cnt from the per-corpus cache) skips the
-        sync and returns the DEVICE scalar for the caller to fold into
-        its own final sync — the chains' ok flag still catches any
-        cap overflow if the cache were ever stale."""
+        syncs (and caches under the corpus fingerprint); warm path
+        (known_cnt from the cache) skips the sync and returns the
+        DEVICE scalar for the caller to fold into its own final sync —
+        the chains' ok flag still catches any cap overflow if the cache
+        were ever stale."""
         if known_cnt is None:
             import jax
             c = int(jax.device_get(cnt_dev))
+            if fp is not None:
+                self._spans_cnt_cache[fp] = c
             return c, c
         return known_cnt, cnt_dev
 
     # strategies whose builders accept known_cnt (warm sync-free path)
-    _WARM_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS")
+    _WARM_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
+                      "LINE_SHAPE")
 
     def find_all_spans_device(self, data: np.ndarray,
                               defer_ok: bool = False):
@@ -534,7 +537,7 @@ class BatchEngine:
                     r = self._nullable_spans_dev(data, n)
                 elif warm:
                     dev = device_corpus(data)
-                    r = b(dev, n, known_cnt=known)
+                    r = b(dev, n, known_cnt=known, fp=fp)
                 else:
                     dev = device_corpus(data)
                     r = b(dev, n)
@@ -547,8 +550,6 @@ class BatchEngine:
                 ok = None
             else:
                 spans, cnt, ok = r
-            if warm and known is None and isinstance(cnt, int):
-                self._spans_cnt_cache[fp] = cnt
             if defer_ok:
                 return spans, cnt, ok
             if ok is not None and not bool(jax.device_get(ok)):
@@ -601,7 +602,7 @@ class BatchEngine:
             return None
         return jnp.stack([starts, ends], axis=1), total
 
-    def _literal_spans_dev(self, dev, n, known_cnt=None):
+    def _literal_spans_dev(self, dev, n, known_cnt=None, fp=None):
         """One fused mask->words dispatch + count sync + sparse chain:
         extraction cost ~ matches, not corpus (round 5; the reference's
         scan-and-append loop is meta/findall.go:176-283)."""
@@ -615,7 +616,7 @@ class BatchEngine:
         if literal_self_overlaps(lit):
             return None  # overlap selection: host walk
         words, cnt_dev = literal_words(dev, tuple(lit))
-        cnt, ret_cnt = self._resolve_cnt(cnt_dev, known_cnt)
+        cnt, ret_cnt = self._resolve_cnt(cnt_dev, known_cnt, fp)
         if cnt == 0:
             return _empty_spans_dev(), 0, None
         if cnt > self.MAX_DEVICE_SPANS:
@@ -633,7 +634,7 @@ class BatchEngine:
             spans = jnp.stack([starts, ends], axis=1)
         return spans, ret_cnt, ok
 
-    def _charclass_spans_dev(self, dev, n, known_cnt=None):
+    def _charclass_spans_dev(self, dev, n, known_cnt=None, fp=None):
         """Run masks fused into word-packing + count sync + two sparse
         chains (round 5); the {m,k}+ chopping arithmetic stays a
         hit-sized XLA epilogue."""
@@ -649,7 +650,7 @@ class BatchEngine:
         mmin = cc.min if (cc.plus and cc.min > 1) else 1
         ranges = table_to_ranges(np.array(cc.table, dtype=bool))
         ws, we, cs_dev, ce_dev = class_run_words(dev, ranges, mmin)
-        cnt, ret_cnt = self._resolve_cnt(cs_dev, known_cnt)
+        cnt, ret_cnt = self._resolve_cnt(cs_dev, known_cnt, fp)
         if cnt == 0:
             return _empty_spans_dev(), 0, None
         if cnt > self.MAX_DEVICE_SPANS:
@@ -683,22 +684,28 @@ class BatchEngine:
         ends = jnp.where(live, lasts + 1, starts)
         return jnp.stack([starts, ends], axis=1), ok1 & ok2
 
-    def _multi_literal_spans_dev(self, dev, n, known_cnt=None):
+    def _multi_literal_spans_dev(self, dev, n, known_cnt=None, fp=None):
         """All-bool win-mask algebra fused into word-packing + count
         sync + two sparse chains (round 5); alignment validation (the
         overlapping-hits -> host-walk gate) rides the chains' ok flag."""
         import jax
         from ..ops.bytescan import _bucket
-        from ..ops.span_chain import (SPARSE_OK, multi_literal_words,
+        from ..ops.span_chain import (MULTI_FUSED_LIMIT, SPARSE_OK,
+                                      multi_literal_words,
+                                      multi_literal_words_big,
                                       pair_spans_sparse)
         lits = tuple(tuple(l) for l in self.plan.literals)
-        ws, we, cs_dev, ce_dev = multi_literal_words(dev, lits)
+        producer = (multi_literal_words if n <= MULTI_FUSED_LIMIT
+                    else multi_literal_words_big)
+        ws, we, cs_dev, ce_dev = producer(dev, lits)
         if known_cnt is None:
             cnt, cnte = (int(x) for x in
                          jax.device_get((cs_dev, ce_dev)))
             ret_cnt = cnt
             if cnt and cnt != cnte:
                 return None  # overlapping hits: host selection walk
+            if fp is not None:
+                self._spans_cnt_cache[fp] = cnt
         else:  # warm: same corpus fingerprint -> same verdicts
             cnt, ret_cnt = known_cnt, cs_dev
         if cnt == 0:
@@ -715,29 +722,53 @@ class BatchEngine:
             return spans, cnt, None
         return spans, ret_cnt, ok
 
-    def _line_shape_spans_dev(self, dev, n):
+    def _line_shape_spans_dev(self, dev, n, known_cnt=None, fp=None):
+        """Line-shape extraction on the EVENT STREAM (round 5): one
+        fused producer packs (newline, candidate, anchored-line-start)
+        masks to words; the sparse chain compacts them into a
+        position-ordered event stream; all per-line logic (first/last
+        candidate, prefix gating, BOL/EOL endpoints) is hit-sized array
+        algebra; one payload compaction emits the spans.  Replaces the
+        round-4 corpus-sized cummax cascades (line_span_masks) that
+        cost ~0.7 s per 256 MB and OOMed past 448 MB."""
         import jax
-        from ..ops.bytescan import _bucket, mask_count
-        from ..ops.span_kernels import line_span_masks, spans_from_masks
+        from ..ops.bytescan import _bucket
+        from ..ops.span_chain import line_event_words, line_spans_events
         sp = self.plan.split
         a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
         if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
             return None  # single-match shapes: host path is trivial
         mode = ("first_to_eol" if a_is_empty
                 else "bol_to_last" if b_empty else "bol_to_eol")
-        smask, emask = line_span_masks(
-            dev, tuple(sp.lit),
-            tuple(sp.prefix_literal) if sp.line_anchored else (),
-            sp.line_anchored, mode)
-        # sync-free cap: at most one match per line, lines <= n//2 + 2
-        cap = _bucket(max(n // 2 + 2, 16), 16)
-        spans, cs, ok = spans_from_masks(smask, emask, cap)
-        cnt, okh = (int(x) for x in jax.device_get((cs, ok)))
-        if cnt == 0:
-            return _empty_spans_dev(), 0
-        if not okh:
-            return None  # pragma: no cover - alignment invariant broken
-        return spans, cnt
+        lit = bytes(sp.lit)
+        prefix = bytes(sp.prefix_literal) if sp.line_anchored else b""
+        if b"\n" in lit or b"\n" in prefix or not lit:
+            return None  # event masks assume newline-free needles
+        words, cnts = line_event_words(dev, tuple(lit), tuple(prefix),
+                                       sp.line_anchored)
+        if known_cnt is None:
+            ev_total = int(sum(int(x) for x in jax.device_get(cnts)))
+            if fp is not None:
+                self._spans_cnt_cache[fp] = ev_total
+        else:
+            ev_total = known_cnt
+        if ev_total == 0:
+            return _empty_spans_dev(), 0, None
+        if ev_total > self.MAX_DEVICE_SPANS:
+            return None
+        cap = _bucket(ev_total + 1, 16)
+        spans, cntm_dev, ok = line_spans_events(
+            list(words), n, cap, mode, sp.line_anchored, len(lit),
+            len(prefix), None)
+        if known_cnt is None:
+            cntm, okh = (int(x) for x in
+                         jax.device_get((cntm_dev, ok)))
+            if not okh:
+                return None  # pragma: no cover - invariant broken
+            if cntm == 0:
+                return _empty_spans_dev(), 0, None
+            return spans, cntm, None
+        return spans, cntm_dev, ok
 
     @staticmethod
     def _class_run_prefix(prefix_ast, lit: bytes):

@@ -359,11 +359,15 @@ def pack_words(mask, nw: int):
     the MXU accumulates in f32 — unlike the >256 table-value matmuls
     that required Precision.HIGHEST (see ops/dfa_scan.py notes).  Call
     INSIDE the jit that produces the mask where possible."""
-    b = (mask.reshape(nw, 32) != 0).astype(jnp.float32)
+    b = (mask.reshape(nw, 32) != 0).astype(jnp.bfloat16)
     W = np.zeros((32, 2), np.float32)
     W[:16, 0] = 2.0 ** np.arange(16)
     W[16:, 1] = 2.0 ** np.arange(16)
-    r = b @ jnp.asarray(W)
+    # bf16 operands halve the [nw,32] buffer (2n bytes, the peak-HBM
+    # term of fused producers); 0/1 and 2^j are bf16-exact and the MXU
+    # accumulates in f32, so the result is still exact
+    r = jax.lax.dot(b, jnp.asarray(W).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
     return r[:, 0].astype(jnp.int32) | (r[:, 1].astype(jnp.int32) << 16)
 
 
@@ -428,6 +432,86 @@ def sparse_positions_words(words, n: int, cap: int,
             [words, jnp.zeros(nwb - nw, dtype=jnp.int32)])
     return _chain_jit(words, jnp.asarray(n, dtype=jnp.int32), nwb, cap,
                       interpret)
+
+
+def _events_body(union, kinds, n_dev, cap: int, interpret: bool):
+    """union[nwb] + per-kind words -> (pos[cap], kind[cap], cnt, ok):
+    the sparse chain carrying a kind BITMASK per event.  kind bit j of
+    an event = mask j had the bit.  K <= 4 kinds ride as L1 payloads;
+    at the byte level they pack into ONE int32 (4 kind-bytes), so L1.5
+    and L2 stay at <= 3 payloads."""
+    K = len(kinds)
+    assert 1 <= K <= 4
+    nwb = int(union.shape[0])
+    capw = min(nwb, cap)
+    out1 = compact_pay((union != 0), [union] + list(kinds), capw,
+                       interpret=interpret)
+    wpos, wu = out1[0], out1[1]
+    wk = out1[2:2 + K]
+    cntw = out1[2 + K]
+    ok1 = out1[3 + K]
+    capb = min(4 * capw, cap)
+    live = (jnp.arange(capw, dtype=jnp.int32) < cntw)[:, None]
+    j4 = jax.lax.broadcasted_iota(jnp.int32, (capw, 4), 1)
+    bu = (wu[:, None] >> (8 * j4)) & 0xFF
+    m2 = live & (bu != 0)
+    base2 = wpos[:, None] * 32 + 8 * j4
+    # pack the K kind-bytes of each byte-slot into one int32
+    kpack = jnp.zeros((capw, 4), dtype=jnp.int32)
+    for kk in range(K):
+        kb = (wk[kk][:, None] >> (8 * j4)) & 0xFF
+        kpack = kpack | (kb << (8 * kk))
+    out2 = compact_pay(
+        m2.reshape(-1),
+        [bu.reshape(-1), base2.reshape(-1), kpack.reshape(-1)], capb,
+        interpret=interpret)
+    bu_c, bbase_c, kpack_c, cntb, ok2 = out2[1], out2[2], out2[3], \
+        out2[4], out2[5]
+    live3 = (jnp.arange(capb, dtype=jnp.int32) < cntb)[:, None]
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (capb, 8), 1)
+    m3 = live3 & (((bu_c[:, None] >> j8) & 1) != 0)
+    pos3 = bbase_c[:, None] + j8
+    kind3 = jnp.zeros((capb, 8), dtype=jnp.int32)
+    for kk in range(K):
+        kb = (kpack_c[:, None] >> (8 * kk)) & 0xFF
+        kind3 = kind3 | (((kb >> j8) & 1) << kk)
+    out3 = compact_pay(
+        m3.reshape(-1), [pos3.reshape(-1), kind3.reshape(-1)], cap,
+        interpret=interpret)
+    pos, kind, cnt, ok3 = out3[1], out3[2], out3[3], out3[4]
+    live_o = jnp.arange(cap, dtype=jnp.int32) < cnt
+    pos = jnp.where(live_o, pos, n_dev.astype(jnp.int32))
+    return pos, kind, cnt, ok1 & ok2 & ok3
+
+
+@functools.partial(jax.jit, static_argnames=("nwb", "cap", "interpret"))
+def _events_jit(union, kinds, n_dev, nwb: int, cap: int,
+                interpret: bool):
+    return _events_body(union, list(kinds), n_dev, cap, interpret)
+
+
+def sparse_events_words(kind_words, n: int, cap: int,
+                        interpret: bool = False):
+    """Position-ordered EVENT STREAM from K <= 4 word-packed masks:
+    (pos[cap] ascending with sentinel n, kind[cap] bitmask of which
+    masks fired, cnt, ok).  The building block of the event-stream span
+    engines: per-line / per-candidate logic then runs as hit-sized
+    array algebra with no corpus-sized intermediates and no gathers.
+    `cap` MUST bound the total number of event positions (union bits).
+    Safe inside jit."""
+    kinds = [k for k in kind_words]
+    union = kinds[0]
+    for k in kinds[1:]:
+        union = union | k
+    nw = int(union.shape[0])
+    nwb = _bucket_up(max(nw, 1))
+    if nwb != nw:
+        pad = jnp.zeros(nwb - nw, dtype=jnp.int32)
+        union = jnp.concatenate([union, pad])
+        kinds = [jnp.concatenate([k, pad]) for k in kinds]
+    return _events_jit(union, tuple(kinds),
+                       jnp.asarray(n, dtype=jnp.int32), nwb, cap,
+                       interpret)
 
 
 def sparse_positions(mask, cap: int, interpret: bool = False):

@@ -120,7 +120,6 @@ def multi_literal_words(dev, lits: Tuple[Tuple[int, ...], ...]):
     alternation, within-position priority resolved (first listed wins),
     all-bool algebra (no corpus-sized int32)."""
     n = dev.shape[0]
-    pad1 = jnp.zeros(1, dtype=bool)
     seen = jnp.zeros(n, dtype=bool)
     emask = jnp.zeros(n + 1, dtype=bool)
     for lit in lits:
@@ -132,6 +131,207 @@ def multi_literal_words(dev, lits: Tuple[Tuple[int, ...], ...]):
     smask = seen  # priority only affects END choice; starts = any hit
     return (_pad_pack(smask, n), _pad_pack(emask, n + 1),
             _count(smask), _count(emask))
+
+
+# one fused jit across ALL J literals at full corpus scale exceeds HBM
+# (each literal's rolled-compare transients are corpus-sized bools); the
+# big variant SEGMENTS the corpus and reuses the proven fused algebra
+# per ~256 MB slice.  Exact: the only cross-position state (priority)
+# is per-position, so slices are independent given a kmax-1 halo.
+MULTI_FUSED_LIMIT = 384 * 1024 * 1024
+_ML_SEG = 256 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("lits", "lead", "emit_n"))
+def _ml_slice_words(ext, lits, lead: int, emit_n: int):
+    """Word-packed (starts, ends) for emit positions [lead, lead+emit_n)
+    of the extended slice; ends emitted over emit_n MASK slots (the
+    caller gives the last slice emit_n = tail+1 so an end at n fits)."""
+    m = ext.shape[0]
+    seen = jnp.zeros(m, dtype=bool)
+    emask = jnp.zeros(emit_n, dtype=bool)
+    for lit in lits:
+        hit = _memmem_mask(ext, lit)
+        win = hit & ~seen
+        seen = seen | hit
+        k = len(lit)
+        # end bit j (global a+j) <- win at local j + lead - k
+        lo = lead - k
+        if lo >= 0:
+            seg = win[lo:lo + emit_n]
+        else:
+            seg = jnp.concatenate(
+                [jnp.zeros(-lo, dtype=bool), win])[:emit_n]
+        if seg.shape[0] < emit_n:
+            seg = jnp.concatenate(
+                [seg, jnp.zeros(emit_n - seg.shape[0], dtype=bool)])
+        emask = emask | seg
+    smask = seen[lead:lead + emit_n]
+    if smask.shape[0] < emit_n:
+        smask = jnp.concatenate(
+            [smask, jnp.zeros(emit_n - smask.shape[0], dtype=bool)])
+    nw = emit_n // 32
+    return pack_words(smask, nw), pack_words(emask, nw)
+
+
+@jax.jit
+def _ml_counts(seen_w, ew):
+    pc = jax.lax.population_count
+    return (pc(seen_w).sum(dtype=jnp.int32),
+            pc(ew).sum(dtype=jnp.int32))
+
+
+def multi_literal_words_big(dev, lits: Tuple[Tuple[int, ...], ...]):
+    """multi_literal_words past MULTI_FUSED_LIMIT: same contract
+    (start-words and end-words bucket-padded, end mask domain n+1)."""
+    from .compact2 import _bucket_up
+    n = int(dev.shape[0])
+    kmax = max(len(l) for l in lits)
+    # per-slice transients scale with J (each literal's rolled-compare
+    # bools): shrink slices so the slice program stays within HBM
+    # (J=32 at 256 MB slices compile-OOMed by ~0.5 GB)
+    seg = max(32 * 1024 * 1024,
+              _ML_SEG * 8 // max(8, len(lits)))
+    seg -= seg % 32
+    ws_parts, we_parts = [], []
+    a = 0
+    while a < n:
+        b = min(a + seg, n)
+        last = b == n
+        lo = max(0, a - (kmax - 1))
+        hi = min(n, b + kmax - 1)
+        emit = b - a if not last else (n + 1 - a)
+        emit_pad = -(-emit // 32) * 32
+        ext = dev[lo:hi]
+        sw, ew_ = _ml_slice_words(ext, lits, a - lo, emit_pad)
+        ws_parts.append(sw)
+        we_parts.append(ew_)
+        a = b
+    ws = jnp.concatenate(ws_parts) if len(ws_parts) > 1 else ws_parts[0]
+    we = jnp.concatenate(we_parts) if len(we_parts) > 1 else we_parts[0]
+    nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
+    if int(ws.shape[0]) < nwb1:
+        pad = jnp.zeros(nwb1 - int(ws.shape[0]), dtype=jnp.int32)
+        ws = jnp.concatenate([ws, pad])
+        we = jnp.concatenate([we, pad])
+    cs, ce = _ml_counts(ws, we)
+    return ws, we, cs, ce
+
+
+# ---------------------------------------------------------------------------
+# Line-shape family on the event stream
+# ---------------------------------------------------------------------------
+# Events: bit0 = newline, bit1 = literal candidate (newline-free lit, so
+# "fits before EOL" is automatic), bit2 = line-start-with-prefix (only
+# for (?m)^P anchored shapes).  All per-line logic then runs on the
+# compacted hit-sized stream: running maxima replace the corpus-sized
+# cummax cascades of the round-4 line_span_masks (the r4 line find_all
+# cost ~0.7 s per 256 MB; the stream is O(lines + candidates)).
+
+@functools.partial(jax.jit, static_argnames=("lit", "prefix",
+                                             "line_anchored"))
+def line_event_words(dev, lit: Tuple[int, ...], prefix: Tuple[int, ...],
+                     line_anchored: bool):
+    """(words_nl, words_cand, words_ls or None, counts...) — one fused
+    dispatch."""
+    n = dev.shape[0]
+    is_nl = dev == np.uint8(10)
+    cand = _memmem_mask(dev, lit)
+    outs = [_pad_pack(is_nl, n), _pad_pack(cand, n)]
+    cnts = [_count(is_nl), _count(cand)]
+    if line_anchored:
+        prev = jnp.concatenate(
+            [jnp.full(1, np.uint8(10), dev.dtype), dev[:-1]])
+        is_ls = (jnp.arange(n, dtype=jnp.int32) == 0) | \
+            (prev == np.uint8(10))
+        lsp = is_ls & (_memmem_mask(dev, prefix) if len(prefix)
+                       else jnp.ones(n, dtype=bool))
+        outs.append(_pad_pack(lsp, n))
+        cnts.append(_count(lsp))
+    return tuple(outs), tuple(cnts)
+
+
+def _cummax_i32(x):
+    return jax.lax.cummax(x)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "mode", "anchored",
+                                             "k", "plen", "interpret"))
+def _line_stream_spans(pos, kind, cnt, n_dev, cap: int, mode: str,
+                       anchored: bool, k: int, plen: int,
+                       interpret: bool = False):
+    """Event stream -> line-shape spans.  pos/kind are [cap] from
+    sparse_events_words; cnt excludes the virtual EOT terminator this
+    function splices at index cnt (pos there is already the sentinel
+    n)."""
+    from .compact2 import compact_pay
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    # virtual EOT line terminator (a final line without trailing \n);
+    # harmless when the corpus ends in \n (empty line -> no match)
+    kind = jnp.where(idx == cnt, jnp.int32(1), kind)
+    live = idx <= cnt
+    isnl = live & ((kind & 1) != 0)
+    iscand = live & ((kind & 2) != 0)
+    NEG = jnp.int32(-1)
+    pnl_incl = _cummax_i32(jnp.where(isnl, pos, NEG))
+    pnl_excl = jnp.concatenate([jnp.full(1, NEG, jnp.int32),
+                                pnl_incl[:-1]])
+    if anchored:
+        isls = live & ((kind & 4) != 0)
+        lsm = _cummax_i32(jnp.where(isls, pos, NEG))
+        # candidate's line starts with the prefix, and the candidate
+        # sits at/after line_start + plen (events at a cand are not nl,
+        # so pnl_incl is its strictly-previous newline)
+        good = (lsm == pnl_incl + 1) & (pos >= pnl_incl + 1 + plen)
+        valid = iscand & good
+    else:
+        valid = iscand
+    lv_incl = _cummax_i32(jnp.where(valid, pos, NEG))
+    lv_excl = jnp.concatenate([jnp.full(1, NEG, jnp.int32),
+                               lv_incl[:-1]])
+    if mode == "first_to_eol":
+        first_mark = valid & (lv_excl <= pnl_incl)
+        fc_incl = _cummax_i32(jnp.where(first_mark, pos, NEG))
+    # at a NL event, pnl_excl is the PREVIOUS newline (the event itself
+    # is excluded by the shift iff ... pnl_incl at the nl event includes
+    # itself, so the line's opener is pnl_excl)
+    line_has = isnl & (lv_incl > pnl_excl)
+    if mode == "first_to_eol":
+        starts = fc_incl
+        ends = pos
+    elif mode == "bol_to_last":
+        starts = pnl_excl + 1
+        ends = lv_incl + k
+    else:  # bol_to_eol
+        starts = pnl_excl + 1
+        ends = pos
+    out = compact_pay(line_has, [starts, ends], cap,
+                      interpret=interpret)
+    _, s_c, e_c, cntm, okc = out
+    livem = jnp.arange(cap, dtype=jnp.int32) < cntm
+    ok = okc & jnp.all(jnp.where(livem, s_c < e_c, True))
+    nxt = jnp.concatenate([s_c[1:], jnp.full(1, 2**31 - 1, jnp.int32)])
+    liven = jnp.arange(cap, dtype=jnp.int32) < cntm - 1
+    ok &= jnp.all(jnp.where(liven, e_c <= nxt, True))
+    e_c = jnp.where(livem, e_c, s_c)
+    s_c = jnp.where(livem, s_c, n_dev)
+    return jnp.stack([s_c, e_c], axis=1), cntm, ok
+
+
+def line_spans_events(kind_words, n: int, cap: int, mode: str,
+                      anchored: bool, k: int, plen: int,
+                      cnt_events, interpret: bool = False):
+    """Full line-shape extraction from event-mask words: stream chain +
+    per-line algebra + one payload compaction.  cap must bound
+    events + 1 (the virtual EOT terminator).  Returns
+    (spans [cap,2], match-count DEVICE scalar, ok DEVICE bool)."""
+    from .compact2 import sparse_events_words
+    pos, kind, cnt, ok1 = sparse_events_words(kind_words, n, cap,
+                                              interpret=interpret)
+    spans, cntm, ok2 = _line_stream_spans(
+        pos, kind, cnt, _dev_i32(n), cap, mode, anchored, k, plen,
+        interpret=interpret)
+    return spans, cntm, ok1 & ok2
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,62 @@ def test_sparse_positions_cap_exceeded():
     assert not bool(jax.device_get(ok))
 
 
+@pytest.mark.parametrize("K", [1, 2, 3, 4])
+def test_sparse_events_words(K):
+    from coregex_tpu.ops.compact2 import (pack_words, sparse_events_words)
+    rng = np.random.default_rng(40 + K)
+    n = 256 * 128 * 4 * 2 + 555
+    nw = -(-n // 32)
+    masks = [(rng.random(n) < d) for d in (0.002, 0.01, 0.0005, 0.03)[:K]]
+    mp = [np.pad(m, (0, nw * 32 - n)) for m in masks]
+    words = [np.asarray(jax.device_get(
+        pack_words(jnp.asarray(m.astype(np.int8)), nw))) for m in mp]
+    union = np.logical_or.reduce(masks)
+    exp_pos = np.flatnonzero(union)
+    exp_kind = np.zeros(len(exp_pos), dtype=np.int32)
+    for kk, m in enumerate(masks):
+        exp_kind |= (m[exp_pos].astype(np.int32) << kk)
+    cap = max(16, len(exp_pos) + 7)
+    pos, kind, cnt, ok = sparse_events_words(
+        [jnp.asarray(w) for w in words], n, cap, interpret=True)
+    pos, kind, cnt, ok = (np.asarray(jax.device_get(x))
+                          for x in (pos, kind, cnt, ok))
+    assert bool(ok)
+    assert int(cnt) == len(exp_pos)
+    assert (pos[:len(exp_pos)] == exp_pos).all()
+    assert (kind[:len(exp_pos)] == exp_kind).all()
+    assert (pos[len(exp_pos):] == n).all()
+
+
+def test_multi_literal_words_big_matches_fused(monkeypatch):
+    from coregex_tpu.ops import span_chain
+    from coregex_tpu.ops.span_chain import (multi_literal_words,
+                                            multi_literal_words_big)
+    # force several segments so slice halos/boundaries are exercised
+    monkeypatch.setattr(span_chain, "_ML_SEG", 4096)
+    rng = np.random.default_rng(77)
+    words = [b"error", b"warning", b"warn", b"ab", b"errors", b"ninety9",
+             b"xy"]
+    parts = []
+    for _ in range(4000):
+        parts.append(bytes(rng.integers(97, 110, rng.integers(1, 9),
+                                        dtype=np.uint8)))
+        if rng.random() < 0.3:
+            parts.append(words[int(rng.integers(len(words)))])
+    data = b" ".join(parts)
+    dev = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    lits = tuple(tuple(w) for w in words)
+    a = multi_literal_words(dev, lits)
+    b = multi_literal_words_big(dev, lits)
+    for x, y in zip(a, b):
+        xa, ya = np.asarray(jax.device_get(x)), np.asarray(
+            jax.device_get(y))
+        m = min(len(xa.reshape(-1)), len(ya.reshape(-1))) \
+            if xa.ndim else None
+        assert (xa == ya).all() if xa.shape == ya.shape else \
+            (xa.reshape(-1)[:m] == ya.reshape(-1)[:m]).all()
+
+
 def test_positions_auto_routes():
     rng = np.random.default_rng(21)
     n = 256 * 128 * 4 * 2
