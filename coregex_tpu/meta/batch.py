@@ -331,6 +331,9 @@ class BatchEngine:
         # per-corpus-fingerprint match counts: sizes warm find_all
         # compaction caps without a count sync (find_all_spans_device)
         self._spans_cnt_cache = {}
+        # FlagResetScanner per (dfa kind, reset ctx) — extended-alphabet
+        # tables built once per engine
+        self._flag_scanner_cache = {}
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -473,7 +476,7 @@ class BatchEngine:
         "COREGEX_TPU_MAX_DEV_SPANS", str(128 * 1024 * 1024)))
 
     _SPARSE_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
-                        "NULLABLE_CORE", "LINE_SHAPE")
+                        "NULLABLE_CORE", "LINE_SHAPE", "INNER")
 
     def _spans_limit(self, strat) -> int:
         if strat.name in self._SPARSE_FAMILIES:
@@ -497,7 +500,7 @@ class BatchEngine:
 
     # strategies whose builders accept known_cnt (warm sync-free path)
     _WARM_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
-                      "LINE_SHAPE")
+                      "LINE_SHAPE", "INNER")
 
     def find_all_spans_device(self, data: np.ndarray,
                               defer_ok: bool = False):
@@ -798,25 +801,25 @@ class BatchEngine:
             return None
         return np.array(t, dtype=bool), m, M
 
-    def _inner_spans_dev(self, dev, n):
-        """INNER family with a class-run prefix (email/url shapes): one
-        contiguous suffix reset-scan + pure mask algebra replaces the
-        per-candidate window scans.
-
-        starts: every suffix of the member run abutting a verified lit
-        occurrence is a viable start, so a candidate is the triple
-        (leftmost start, latest start, fixed end) and Go's walk is the
-        flexible fixed point (ops/span_kernels.py:go_select_flex).
-        ends: suffix extents from the reset-scan's last-flag-in-interval
-        mask.  Alignment comes from three mask compactions (run starts /
-        verified lits / interval ends are 1:1 in position order)."""
+    def _inner_spans_dev(self, dev, n, known_cnt=None, fp=None):
+        """INNER family with a class-run prefix (email/url shapes),
+        round 5: one fused candidate producer (member/lit masks packed
+        to words + per-word last-nonmember table), one suffix
+        ResetScanner pass (resets at candidate+k), two payload chains
+        (candidates with member-word tables; resets with flag-word
+        tables), then per-candidate bit math + flexible Go selection —
+        everything after the scan is hit-sized, gather-free, and
+        corpus-int32-free (the round-4 path held several corpus cummin
+        arrays and three compactions).  Cold path: two syncs (candidate
+        count, final ok); warm path: sync-free with deferred ok.
+        Reference analogue: meta/reverse_inner.go:324-418."""
         import jax
         import jax.numpy as jnp
-        from ..ops.bytescan import (_bucket, _class_mask_from_table,
-                                    _memmem_mask, mask_count)
-        from ..ops.compact import compact_positions
-        from ..ops.dfa_scan import ResetScanner
-
+        from ..ops.bytescan import _bucket, table_to_ranges
+        from ..ops.compact2 import sparse_chain_payloads
+        from ..ops.span_chain import (_dev_i32, _shift_words,
+                                      inner_assemble,
+                                      inner_cand_arrays)
         from ..syntax.ast import Op
         if self._pf_retired:
             return None
@@ -831,115 +834,84 @@ class BatchEngine:
         b_empty = sp.suffix_ast.op == Op.EMPTY
         if not b_empty and litmod.is_nullable(sp.suffix_ast):
             return None
-        INF = jnp.int32(n)
-        iota = jnp.arange(n, dtype=jnp.int32)
-        member = _class_mask_from_table(dev, table)
-        hit = _memmem_mask(dev, tuple(lit))
-        # prefix min-length gate: m members immediately before the lit
-        valid_c = hit
-        for j in range(1, m + 1):
-            shifted = jnp.concatenate(
-                [jnp.zeros(j, dtype=bool), member[:-j]])
-            valid_c = valid_c & shifted
-
-        if b_empty:
-            verified = valid_c
-            endmask = None
-        else:
+        ranges = table_to_ranges(np.array(table, dtype=bool))
+        # suffix scanner built early: the candidate producer fuses the
+        # flag scan's symbol stream into its corpus pass
+        fsc = None
+        if not b_empty and not litmod.has_looks(sp.suffix_ast):
+            from ..dfa.dense import CTX_NL, CTX_OTHER, CTX_WORD
+            from ..ops.flag_scan import FlagResetScanner
             kind = "fwd_suffix" if not self.longest else \
                 "fwd_suffix_all"
+            b_last = lit[-1]
+            rctx = (CTX_WORD if (48 <= b_last <= 57
+                                 or 65 <= b_last <= 90 or b_last == 95
+                                 or 97 <= b_last <= 122)
+                    else CTX_NL if b_last == 10 else CTX_OTHER)
             try:
-                sfx = ResetScanner(self._dense(kind))
+                fsc = self._flag_scanner_cache.get((kind, rctx))
+                if fsc is None:
+                    fsc = FlagResetScanner(self._dense(kind), rctx)
+                    self._flag_scanner_cache[(kind, rctx)] = fsc
             except ValueError:
-                return None  # > 32 byte-segments: aux packing gate
-            rmask = jnp.concatenate(
-                [jnp.zeros(k, dtype=bool), valid_c[:-k]]) \
-                if k < n else jnp.zeros(n, dtype=bool)
-            flags, exits, conv, interf, (L, T) = sfx.scan_device(
-                dev, rmask)
-            convh, interfh = (bool(x) for x in
-                              jax.device_get((conv, interf)))
-            if not convh or interfh:
-                return None  # nested candidates / non-convergence
-            flag, eoi_flag = self._flags_with_eoi(
-                flags, n, not litmod.has_looks(sp.suffix_ast))
-            if flag is None:
-                return None  # EOI undecidable in-scan: host path
-            # ends live in [n+1]: the suffix surviving to EOI ends at n
-            # (the pad-byte flag; supersedes earlier flags — last flag
-            # before death)
-            ext = jnp.concatenate([rmask, jnp.zeros(1, dtype=bool)])
-            flag1 = jnp.concatenate(
-                [flag, jnp.full(1, eoi_flag, bool)])
-            iota1 = jnp.arange(n + 1, dtype=jnp.int32)
-            INF1 = jnp.int32(n + 1)
-            rpos = jnp.where(ext, iota1, INF1)
-            fpos = jnp.where(flag1, iota1, INF1)
-            nr_ex = jnp.concatenate(
-                [jax.lax.cummin(rpos[::-1])[::-1][1:],
-                 jnp.full(1, n + 1, jnp.int32)])
-            nf_ex = jnp.concatenate(
-                [jax.lax.cummin(fpos[::-1])[::-1][1:],
-                 jnp.full(1, n + 1, jnp.int32)])
-            endmask = flag1 & (nf_ex >= nr_ex)
-            has = ext & (nf_ex < nr_ex)  # interval holds >= 1 flag
-            verified = valid_c & jnp.concatenate(
-                [has[k:n], jnp.zeros(k, dtype=bool)])
-        # run starts abutting a verified candidate: next-nonmember ==
-        # next-verified-candidate (lit[0] is a nonmember by the gate)
-        nonmember = ~member
-        nm_in = jax.lax.cummin(
-            jnp.where(nonmember, iota, INF)[::-1])[::-1]
-        vc_in = jax.lax.cummin(
-            jnp.where(verified, iota, INF)[::-1])[::-1]
-        canbit = (nm_in == vc_in) & (vc_in < n)
-        prevm = jnp.concatenate([jnp.zeros(1, dtype=bool), member[:-1]])
-        rs_mask = member & ~prevm & canbit
-        # counted cap: the combinatorial bound (n / (m+k)) is loose
-        # enough to triple HBM at corpus scale; one 26 ms count sync
-        # keeps the three compacted arrays tight
-        vcnt = int(jax.device_get(mask_count(verified)))
-        if vcnt == 0:
-            return _empty_spans_dev(), 0
-        cap = _bucket(vcnt, 16)
-        c_pos, cc = compact_positions(verified, cap)
-        s_pos, cs = compact_positions(rs_mask, cap)
-        if endmask is not None:
-            e_pos, ce = compact_positions(endmask, cap)
-            cnt, okc = (int(x) for x in jax.device_get(
-                (cc, (cs == cc) & (ce == cc))))
+                return None  # > 64 byte-segments: symbol packing gate
+        if fsc is not None:
+            from ..ops.span_chain import inner_cand_symbols
+            candw, mw, lastnm_w, syms, cnt_dev = inner_cand_symbols(
+                dev, ranges, tuple(lit), m, fsc.byte_bounds())
         else:
-            cnt, okc = (int(x) for x in jax.device_get(
-                (cc, cs == cc)))
+            candw, mw, lastnm_w, rmask, cnt_dev = inner_cand_arrays(
+                dev, ranges, tuple(lit), m)
+        if known_cnt is None:
+            cnt = int(jax.device_get(cnt_dev))
+            if fp is not None:
+                self._spans_cnt_cache[fp] = cnt
+        else:
+            cnt = known_cnt
         if cnt == 0:
-            return _empty_spans_dev(), 0
-        if not okc:  # pragma: no cover - alignment invariant broken
+            return _empty_spans_dev(), 0, None
+        if cnt > self.MAX_DEVICE_SPANS:
             return None
-        live = jnp.arange(cap, dtype=jnp.int32) < cnt
-        if endmask is None:
-            ends = jnp.where(live, c_pos + k, c_pos)
+        cap = _bucket(cnt, 16)
+        outA = sparse_chain_payloads(candw, [mw, lastnm_w], n, cap)
+        c_pos, mw_i, lastnm_i, cntA, okA = outA
+        if b_empty:
+            # no suffix: every candidate verified, end = c + k
+            live = jnp.arange(cap, dtype=jnp.int32) < cntA
+            ends = jnp.where(live, c_pos + k, jnp.int32(0))
+            spans, nsel_dev, ok = inner_assemble(
+                c_pos, mw_i, lastnm_i, c_pos, mw_i, lastnm_i, cntA,
+                cntA, okA, jnp.int32(0), jnp.bool_(True),
+                jnp.bool_(False), _dev_i32(n), cap, k, m, M,
+                b_empty=True, fixed_ends=ends)
         else:
-            ends = jnp.where(live, e_pos, c_pos + 1)
-        smin = s_pos if M == -1 else jnp.maximum(s_pos, c_pos - M)
-        smax = c_pos - m
-        from ..ops.span_kernels import go_select_flex_lazy
-        sel, stable_d, starts, nsel_d = go_select_flex_lazy(
-            smin, smax, ends, cnt, cap)
-        okh, nsel = (x for x in jax.device_get((stable_d, nsel_d)))
-        if not bool(okh):
-            return None
-        nsel = int(nsel)
-        if nsel == 0:
-            return _empty_spans_dev(), 0
-        scap = _bucket(nsel, 16)
-        from ..ops.bytescan import _mask_nonzero
-        idx = jnp.minimum(_mask_nonzero(sel & live, scap), cap - 1)
-        fs = jnp.take(starts, idx)
-        fe = jnp.take(ends, idx)
-        slive = jnp.arange(scap, dtype=jnp.int32) < nsel
-        fe = jnp.where(slive, fe, fs)
-        fs = jnp.where(slive, fs, jnp.int32(n))
-        return jnp.stack([fs, fe], axis=1), nsel
+            if fsc is None:
+                return None  # looks in suffix: EOI undecidable in-scan
+            from ..ops.compact2 import _bucket_up
+            from ..ops.span_chain import inner_flag_arrays_words
+            fw_raw, interf_cnt, conv = fsc.scan_words_syms(syms, n)
+            nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
+            flagw, lastflag_w, glob_lf = inner_flag_arrays_words(
+                fw_raw, nwb1)
+            rw = _shift_words(candw, k, nwb1)
+            outB = sparse_chain_payloads(rw, [flagw, lastflag_w],
+                                         n + 1, cap)
+            r_pos, flagw_i, lastflag_i, cntB, okB = outB
+            spans, nsel_dev, ok = inner_assemble(
+                c_pos, mw_i, lastnm_i, r_pos, flagw_i, lastflag_i,
+                cntA, cntB, okA & okB, glob_lf,
+                conv & (interf_cnt == 0), jnp.bool_(False),
+                _dev_i32(n), cap, k, m, M)
+        if known_cnt is None:
+            nsel, okh = (int(x) for x in
+                         jax.device_get((nsel_dev, ok)))
+            if not okh:
+                return None  # interference / non-convergence: host
+            if nsel == 0:
+                return _empty_spans_dev(), 0, None
+            return spans, nsel, None
+        return spans, nsel_dev, ok
+
 
     # interleaved verification handles tens of millions of candidates
     # (contiguous scans, no per-candidate gathers); the cap bounds the

@@ -514,6 +514,80 @@ def sparse_events_words(kind_words, n: int, cap: int,
                        interpret)
 
 
+def _chain_pay_body(evw, wordpays, n_dev, cap: int, interpret: bool):
+    """Event words + P per-WORD int32 payload arrays -> (pos[cap],
+    pay0[cap], ..., cnt, ok): every event inherits its word's payload
+    values.  The trick that makes per-candidate lookups gather-free:
+    any precomputed per-word table (member bits, running maxima, ...)
+    rides the chain and arrives aligned with the compacted events."""
+    P = len(wordpays)
+    nwb = int(evw.shape[0])
+    capw = min(nwb, cap)
+    out1 = compact_pay((evw != 0), [evw] + list(wordpays), capw,
+                       interpret=interpret)
+    wpos, wu = out1[0], out1[1]
+    wp = out1[2:2 + P]
+    cntw, ok1 = out1[2 + P], out1[3 + P]
+    capb = min(4 * capw, cap)
+    live = (jnp.arange(capw, dtype=jnp.int32) < cntw)[:, None]
+    j4 = jax.lax.broadcasted_iota(jnp.int32, (capw, 4), 1)
+    bu = (wu[:, None] >> (8 * j4)) & 0xFF
+    m2 = live & (bu != 0)
+    base2 = wpos[:, None] * 32 + 8 * j4
+    bc = jnp.broadcast_to
+    out2 = compact_pay(
+        m2.reshape(-1),
+        [bu.reshape(-1), base2.reshape(-1)]
+        + [bc(p[:, None], (capw, 4)).reshape(-1) for p in wp],
+        capb, interpret=interpret)
+    bu_c, bbase_c = out2[1], out2[2]
+    wp_c = out2[3:3 + P]
+    cntb, ok2 = out2[3 + P], out2[4 + P]
+    live3 = (jnp.arange(capb, dtype=jnp.int32) < cntb)[:, None]
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (capb, 8), 1)
+    m3 = live3 & (((bu_c[:, None] >> j8) & 1) != 0)
+    pos3 = bbase_c[:, None] + j8
+    out3 = compact_pay(
+        m3.reshape(-1),
+        [pos3.reshape(-1)]
+        + [bc(p[:, None], (capb, 8)).reshape(-1) for p in wp_c], cap,
+        interpret=interpret)
+    pos = out3[1]
+    pays = out3[2:2 + P]
+    cnt, ok3 = out3[2 + P], out3[3 + P]
+    live_o = jnp.arange(cap, dtype=jnp.int32) < cnt
+    pos = jnp.where(live_o, pos, n_dev.astype(jnp.int32))
+    return (pos, *pays, cnt, ok1 & ok2 & ok3)
+
+
+@functools.partial(jax.jit, static_argnames=("nwb", "cap", "interpret"))
+def _chain_pay_jit(evw, wordpays, n_dev, nwb: int, cap: int,
+                   interpret: bool):
+    return _chain_pay_body(evw, list(wordpays), n_dev, cap, interpret)
+
+
+def sparse_chain_payloads(event_words, word_payloads, n: int, cap: int,
+                          interpret: bool = False):
+    """Compact event positions from word-packed `event_words` along
+    with, per event, the value of each [nw] int32 payload array at the
+    event's WORD.  Returns (pos[cap], pay0[cap], ..., cnt, ok).
+    Safe inside jit; inputs padded to the word bucket here."""
+    evw = event_words
+    pays = list(word_payloads)
+    nw = int(evw.shape[0])
+    nwb = _bucket_up(max(nw, 1))
+    if nwb != nw:
+        zpad = jnp.zeros(nwb - nw, dtype=jnp.int32)
+        evw = jnp.concatenate([evw, zpad])
+        pays = [jnp.concatenate([p.astype(jnp.int32), zpad])
+                for p in pays]
+    else:
+        pays = [p.astype(jnp.int32) for p in pays]
+    return _chain_pay_jit(evw, tuple(pays),
+                          jnp.asarray(n, dtype=jnp.int32), nwb, cap,
+                          interpret)
+
+
 def sparse_positions(mask, cap: int, interpret: bool = False):
     """As sparse_positions_words but from a 1-D bool/int8 mask (packs
     words itself — callers that jit their mask production should call

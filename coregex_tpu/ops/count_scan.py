@@ -143,17 +143,45 @@ def plan_geometry(n: int, lc: int = 1024, tile_bytes: int = 256,
     return L, T, W, lc
 
 
+_TILE_WLO = None
+_TILE_WHI = None
+
+
+def _tile_weights():
+    global _TILE_WLO, _TILE_WHI
+    if _TILE_WLO is None:
+        Wlo = np.zeros((512, 128), np.float32)
+        Whi = np.zeros((512, 128), np.float32)
+        for j in range(128):
+            Wlo[4 * j, j] = 1
+            Wlo[4 * j + 1, j] = 256
+            Whi[4 * j + 2, j] = 1
+            Whi[4 * j + 3, j] = 256
+        _TILE_WLO, _TILE_WHI = Wlo, Whi
+    return _TILE_WLO, _TILE_WHI
+
+
 @functools.partial(jax.jit, static_argnames=("L", "T4"))
 def _make_word_tiles(data_u8: jnp.ndarray, L: int, T4: int):
     """[n] u8 -> time-major word tiles [T4, 8, Lc] int32 (little-endian
-    4-byte packing, zero-padded).  One-time per (corpus, geometry)."""
+    4-byte packing, zero-padded).  One-time per (corpus, geometry).
+
+    Word build is a [*, 512] @ [512, 128] MXU matmul (16-bit halves,
+    f32-exact: byte*256 <= 65280 < 2^24): measured ~3 ms per 256 MB vs
+    ~5 s for the strided-byte-plane formulation (four d[k::4] slices),
+    which round 5's per-call symbol tiling made hot.  (A trailing
+    reshape dim of 4 is also ruinous — padded to 128 lanes by the TPU
+    tiled layout.)"""
     n = data_u8.shape[0]
     pad = L * T4 * 4 - n
     d = jnp.pad(data_u8, (0, pad))
-    # strided byte planes: a trailing reshape dim of 4 would be padded to
-    # 128 lanes by the TPU tiled layout (25 GB for a 192 MB corpus)
-    b = [d[k::4].astype(jnp.int32) for k in range(4)]
-    w = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    Wlo, Whi = _tile_weights()
+    bf = d.reshape(-1, 512).astype(jnp.float32)
+    lo = jax.lax.dot(bf, jnp.asarray(Wlo),
+                     preferred_element_type=jnp.float32)
+    hi = jax.lax.dot(bf, jnp.asarray(Whi),
+                     preferred_element_type=jnp.float32)
+    w = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
     Lc = L // 8
     return w.reshape(L, T4).T.reshape(T4, 8, Lc)
 

@@ -1,0 +1,399 @@
+"""Flag-word-emitting fast DFA scan (round 5).
+
+The round-4 ResetScanner verifies candidate suffixes at ~1.5 GB/s (a
+per-byte lax.scan over lanes), 10x slower than the count path's Mosaic
+select-tree kernel.  This module runs the SAME reset-scan semantics
+through the count kernel's machinery (word tiles, merged select tree,
+warmup + boundary-repair fixpoint — ops/count_scan.py) by moving the
+reset bit into the ALPHABET:
+
+    symbol  = 2*byte_class + reset_bit          (u8, <= 2C <= 64)
+    delta'  [s, sym] = delta[rs ? start : s, cls]
+    emit'   [s, sym] = match_on[rs ? start : s, cls]   (bit 0)
+                     | (rs & s != DEAD) << 1            (bit 1: interference)
+
+and the kernel, instead of summing emissions, PACKS bit 0 into int32
+flag words (32 positions per word) written once per 8 tile steps — the
+exact input the span chains consume — while bit 1 accumulates into the
+lane counters (any interference -> caller falls back).  The reset
+context (start-state column) is a compile-time constant: INNER resets
+fire right after a fixed literal, so the context byte is known.
+
+Flags match dfa_scan._chunk_scan_reset exactly: flag at p =
+match_on[s_pre(p), cls(p)], states freeze past the limit, and the flag
+at offset n (first pad symbol) doubles as lookfree EOI acceptance
+(meta/batch.py:_flags_with_eoi).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dfa.dense import DEAD
+from .count_scan import _make_word_tiles, plan_geometry
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+class ResetFlagTables:
+    """Extended-alphabet tables for a DeviceDFA + constant reset
+    context, row/column-merged for the select tree."""
+
+    def __init__(self, ddfa, reset_ctx: int):
+        delta = np.asarray(ddfa.delta)
+        match = np.asarray(ddfa.match_on)
+        starts = np.asarray(ddfa.host_starts)
+        S, C = delta.shape
+        if C > 64:
+            raise ValueError("flag scan packs 2C symbols in u8: C <= 64")
+        start = int(starts[reset_ctx])
+        NSEG = 2 * C
+        de = np.zeros((S, NSEG), dtype=np.int32)
+        ee = np.zeros((S, NSEG), dtype=np.int32)
+        for rs in (0, 1):
+            for s in range(S):
+                s_pre = start if rs else s
+                de[s, 2 * np.arange(C) + rs] = delta[s_pre]
+                ee[s, 2 * np.arange(C) + rs] = (
+                    match[s_pre].astype(np.int32)
+                    | ((rs and s != DEAD) << 1))
+        packed = de * 32 + ee
+        self.S, self.NSEG = S, NSEG
+        col_ids: dict = {}
+        col_of = []
+        for c in range(NSEG):
+            key = tuple(packed[:, c])
+            col_of.append(col_ids.setdefault(key, len(col_ids)))
+        row_ids: dict = {}
+        row_of = []
+        for s in range(S):
+            key = tuple(packed[s])
+            row_of.append(row_ids.setdefault(key, len(row_ids)))
+        self.Cp = len(col_ids)
+        self.R = len(row_ids)
+        self.col_of = tuple(col_of)
+        self.row_of = tuple(row_of)
+        packed_rc = np.zeros((self.R, self.Cp), dtype=np.int32)
+        for s in range(S):
+            for c in range(NSEG):
+                packed_rc[row_of[s], col_of[c]] = packed[s, c]
+        self.packed_rc = jnp.asarray(packed_rc)
+        self.packed_full = jnp.asarray(packed)
+        self.bounds = np.asarray(ddfa.bounds)  # host byte-seg bounds
+        self.nbounds = int(self.bounds.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Symbols (byte class + reset bit), one fused pass
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("bounds",))
+def reset_symbols(dev, rmask, bounds: Tuple[int, ...]):
+    """u8 symbol stream 2*cls + reset, with 32 pad symbols appended so
+    position n always exists in the tiled stream (EOI flag)."""
+    cls = jnp.zeros(dev.shape, dtype=jnp.int32)
+    for b in bounds:
+        cls = cls + (dev >= np.uint8(b)).astype(jnp.int32)
+    sym = (2 * cls + rmask.astype(jnp.int32)).astype(jnp.uint8)
+    return jnp.concatenate([sym, jnp.zeros(32, dtype=jnp.uint8)])
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel (structure mirrors count_scan._count_kernel)
+# ---------------------------------------------------------------------------
+
+def _flag_kernel(packed_ref, entries_ref, offsets_ref, limits_ref,
+                 warm_ref, tiles_ref, flagw_ref, counts_ref, exits_ref,
+                 sync_ref, state_scr, cnt_scr, wcur_scr, *, S: int,
+                 NSEG: int, Tt4: int, W4: int, col_of: tuple,
+                 row_of: tuple, R: int, Cp: int):
+    g = pl.program_id(0)
+
+    def step_syms(word, s, cnt, wcur, live_of, emit: bool):
+        """Step 4 packed SYMBOLS (c = symbol value directly — no byte
+        bounds compares); returns (state, interf-count, flag nibble
+        accumulated into wcur by the caller)."""
+        flags4 = None
+        for k in range(4):
+            c = (word >> (8 * k)) & 255
+            col = jnp.zeros_like(c)
+            for ci in range(NSEG):
+                if col_of[ci]:
+                    col = jnp.where(c == ci, col_of[ci], col)
+            row = jnp.zeros_like(s)
+            for si in range(S):
+                if row_of[si]:
+                    row = jnp.where(s == si, row_of[si], row)
+            ceq = [col == cj for cj in range(Cp)]
+            val = jnp.zeros_like(s)
+            for ri in range(R):
+                rv = jnp.zeros_like(s)
+                for cj in range(Cp):
+                    rv = jnp.where(ceq[cj], packed_ref[ri, cj], rv)
+                val = jnp.where(row == ri, rv, val)
+            live = live_of(k)
+            if emit:
+                cnt = cnt + jnp.where(live, (val >> 1) & 1, 0)
+                fb = jnp.where(live, val & 1, 0)
+                flags4 = fb if flags4 is None else flags4 | (fb << k)
+            s = jnp.where(live, val >> 5, s)
+        return s, cnt, flags4
+
+    @pl.when(g == 0)
+    def _():
+        s = entries_ref[:]
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
+        offs = offsets_ref[:]
+        for tw in range(W4):
+            w = warm_ref[tw]
+            s, _, _ = step_syms(
+                w, s, None, None,
+                lambda k, tw=tw: (tw * 4 + k) >= offs, emit=False)
+        state_scr[:] = s
+        sync_ref[:] = s
+
+    def body(t, _):
+        w = tiles_ref[t]
+        s = state_scr[:]
+        cnt = cnt_scr[:]
+        base = (g * Tt4 + t) * 4
+        lim = limits_ref[:]
+        s, cnt, flags4 = step_syms(w, s, cnt, None,
+                                   lambda k: (base + k) < lim,
+                                   emit=True)
+        state_scr[:] = s
+        cnt_scr[:] = cnt
+        sub = t % 8
+
+        @pl.when(sub == 0)
+        def _w0():
+            wcur_scr[:] = flags4
+
+        @pl.when(sub != 0)
+        def _wk():
+            wcur_scr[:] = wcur_scr[:] | (flags4 << (sub * 4))
+
+        @pl.when(sub == 7)
+        def _flush():
+            flagw_ref[t // 8] = wcur_scr[:]
+
+        return 0
+
+    jax.lax.fori_loop(0, Tt4, body, 0, unroll=1)
+    counts_ref[:] = cnt_scr[:]
+    exits_ref[:] = state_scr[:]
+
+
+def _pallas_flag_once(packed, tiles, warm, entries, offsets, limits,
+                      S: int, NSEG: int, T4: int, Tt4: int, W4: int,
+                      Lc: int, col_of: tuple, row_of: tuple, R: int,
+                      Cp: int, interpret: bool = False):
+    n_tiles = T4 // Tt4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        scratch_shapes=[
+            pltpu.VMEM((8, Lc), jnp.int32),
+            pltpu.VMEM((8, Lc), jnp.int32),
+            pltpu.VMEM((8, Lc), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # packed [R, Cp]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # entries [8, Lc]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # offsets
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # limits
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # warm [W4, 8, Lc]
+            pl.BlockSpec((Tt4, 8, Lc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # tiles
+        ],
+        out_specs=[
+            pl.BlockSpec((Tt4 // 8, 8, Lc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # flag words
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # interf counts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # exits
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sync
+        ],
+    )
+    kern = functools.partial(_flag_kernel, S=S, NSEG=NSEG, Tt4=Tt4,
+                             W4=W4, col_of=col_of, row_of=row_of, R=R,
+                             Cp=Cp)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T4 // 8, 8, Lc), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lc), jnp.int32),
+        ),
+        interpret=interpret,
+    )(packed, entries, offsets, limits, warm, tiles)
+
+
+# ---------------------------------------------------------------------------
+# Full scan: warmup guess + boundary-repair fixpoint, one jit
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "W", "S", "NSEG", "Tt4", "Lc", "impl",
+                     "col_of", "row_of", "R", "Cp", "max_repair",
+                     "interpret"))
+def _flag_full(packed_rc, packed_full, tiles, n1,
+               L: int, T: int, W: int, S: int, NSEG: int, Tt4: int,
+               Lc: int, impl: str, col_of: tuple = (),
+               row_of: tuple = (), R: int = 0, Cp: int = 0,
+               max_repair: int = 4, interpret: bool = False):
+    """Returns (flag words [L*T/32] position-major, interference count,
+    converged).  n1 = n + 1 (the EOI position is live)."""
+    T4, W4 = T // 4, W // 4
+    n1 = jnp.int32(n1)
+    lane_ids = jnp.arange(L, dtype=jnp.int32)
+
+    tail = tiles[T4 - W4:]
+    warm = jnp.roll(tail.reshape(W4, L), 1, axis=1).reshape(
+        W4, 8, tiles.shape[2])
+    # reset-scan lane entry guess: DEAD (no live run) — resets inside
+    # the warmup window resync the lane exactly
+    entries0 = jnp.full((L,), DEAD, jnp.int32)
+    offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
+    limits = jnp.clip(n1 - lane_ids * T, 0, T)
+
+    if impl == "pallas":
+        def scan_once(entries, offsets):
+            fw, cnts, exits, sync = _pallas_flag_once(
+                packed_rc, tiles, warm, entries.reshape(8, Lc),
+                offsets.reshape(8, Lc), limits.reshape(8, Lc), S=S,
+                NSEG=NSEG, T4=T4, Tt4=Tt4, W4=W4, Lc=Lc, col_of=col_of,
+                row_of=row_of, R=R, Cp=Cp, interpret=interpret)
+            return fw, cnts.reshape(L), exits.reshape(L), \
+                sync.reshape(L)
+    else:
+        delta_t = packed_full >> 5
+        emit_t = packed_full & 31
+
+        def scan_once(entries, offsets):
+            def body(carry, xc):
+                s, cnt = carry
+                w, is_warm, widx = xc
+                f4 = jnp.zeros_like(s)
+                for k in range(4):
+                    c = (w >> (8 * k)) & 255
+                    live = jnp.where(
+                        is_warm, (widx * 4 + k) >= offsets,
+                        (widx * 4 + k) < limits)
+                    val = packed_full[s, c]
+                    cnt = cnt + jnp.where(live & ~is_warm,
+                                          (val >> 1) & 1, 0)
+                    f4 = f4 | (jnp.where(live & ~is_warm, val & 1, 0)
+                               << k)
+                    s = jnp.where(live, val >> 5, s)
+                return (s, cnt), f4
+
+            warm_flat = warm.reshape(W4, L)
+            main_flat = tiles.reshape(T4, L)
+            xs_w = (warm_flat, jnp.ones(W4, bool),
+                    jnp.arange(W4, dtype=jnp.int32))
+            xs_m = (main_flat, jnp.zeros(T4, bool),
+                    jnp.arange(T4, dtype=jnp.int32))
+            cnt0 = jnp.zeros((L,), jnp.int32)
+            (s1, _), _ = jax.lax.scan(body, (entries, cnt0), xs_w)
+            (s2, cnt), f4s = jax.lax.scan(body, (s1, cnt0), xs_m)
+            # f4s [T4, L] nibbles -> [T4//8, 8, L] -> words
+            f8 = f4s.reshape(T4 // 8, 8, L)
+            sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
+            fw = (f8 << sh).sum(axis=1, dtype=jnp.int32)
+            fw = fw.reshape(T4 // 8, 8, -1)
+            return fw, cnt, s2, s1
+
+    fw0, cnts0, exits0, sync0 = scan_once(entries0, offsets0)
+    real = (lane_ids * T) < n1
+
+    def want_of(exits):
+        return jnp.concatenate(
+            [jnp.full(1, DEAD, jnp.int32), exits[:-1]])
+
+    def cond(st):
+        k, fw, cnts, exits, sync = st
+        return (k < max_repair) & jnp.any(
+            real & (want_of(exits) != sync))
+
+    def rep(st):
+        k, fw, cnts, exits, sync = st
+        offs = jnp.full((L,), W, jnp.int32)
+        f2, c2, e2, sy2 = scan_once(want_of(exits), offs)
+        return (k + 1, f2, c2, e2, sy2)
+
+    k, fw, cnts, exits, sync = jax.lax.while_loop(
+        cond, rep, (jnp.int32(0), fw0, cnts0, exits0, sync0))
+    converged = ~jnp.any(real & (want_of(exits) != sync))
+    interf = cnts.sum(dtype=jnp.int32)
+    # position-major words: lane l covers words [l*T/32, (l+1)*T/32)
+    fw_global = jnp.transpose(fw, (1, 2, 0)).reshape(-1)
+    # mask bits past n (= n1-1): the automaton keeps walking pad
+    # symbols, but only the EOI bit at n is meaningful
+    nw = fw_global.shape[0]
+    base = jnp.arange(nw, dtype=jnp.int32) * 32
+    full = base + 32 <= n1
+    partial_bits = jnp.clip(n1 - base, 0, 32)
+    pmask = jnp.where(
+        partial_bits >= 32, jnp.int32(-1),
+        (jnp.left_shift(jnp.int32(1),
+                        jnp.minimum(partial_bits, 31)) - 1))
+    fw_global = jnp.where(full, fw_global, fw_global & pmask)
+    return fw_global, interf, converged
+
+
+class FlagResetScanner:
+    """Reset-scan with flag-WORD output at count-kernel speed.
+
+    scan_words(dev, rmask, n) -> (flag words over the [n+1] domain
+    [ceil((n+1)/32) padded], interference count, converged) — all
+    device; one fused dispatch after the symbol/tile build."""
+
+    def __init__(self, ddfa, reset_ctx: int, impl=None):
+        self.tables = ResetFlagTables(ddfa, reset_ctx)
+        self.impl = impl or ("pallas" if (jax.default_backend() == "tpu"
+                                          and HAVE_PALLAS)
+                             else "gather")
+
+    def byte_bounds(self) -> Tuple[int, ...]:
+        """Byte segment boundaries for the symbol build (producers can
+        fuse reset_symbols into their own pass)."""
+        return tuple(int(b) for b in self.tables.bounds
+                     if 0 < int(b) < 256)
+
+    def scan_words(self, dev, rmask, interpret: bool = False):
+        syms = reset_symbols(dev, rmask, self.byte_bounds())
+        return self.scan_words_syms(syms, int(dev.shape[0]),
+                                    interpret=interpret)
+
+    def scan_words_syms(self, syms, n: int, interpret: bool = False):
+        """As scan_words but from a prebuilt symbol stream (length
+        n + pad >= n+1; see reset_symbols)."""
+        L, T, W, Lc = plan_geometry(int(syms.shape[0]))
+        # Tt4 must be a multiple of 8 (one flag word per 8 tile steps)
+        Tt4 = min(64, max(8, (T // 4) // 4))
+        while (T // 4) % Tt4:
+            Tt4 //= 2
+        if Tt4 % 8:
+            Tt4 = 8
+        tiles = _make_word_tiles(syms, L, T // 4)
+        t = self.tables
+        fw, interf, conv = _flag_full(
+            t.packed_rc, t.packed_full, tiles, n + 1, L=L, T=T, W=W,
+            S=t.S, NSEG=t.NSEG, Tt4=Tt4, Lc=Lc, impl=self.impl,
+            col_of=t.col_of, row_of=t.row_of, R=t.R, Cp=t.Cp,
+            interpret=interpret)
+        return fw, interf, conv

@@ -142,6 +142,28 @@ MULTI_FUSED_LIMIT = 384 * 1024 * 1024
 _ML_SEG = 256 * 1024 * 1024
 
 
+def _shift_words(win, k: int, out_len: int):
+    """OR-target word array for shifted bits: bit p of win -> bit p+k
+    of the result ([out_len] words, uint32 logical shifts)."""
+    wu = win.astype(jnp.uint32)
+    woff, bs = k // 32, k % 32
+    a = (wu << bs).astype(jnp.int32) if bs else win
+    za = jnp.zeros(woff, dtype=jnp.int32)
+    out = jnp.concatenate([za, a])[:out_len]
+    if out.shape[0] < out_len:
+        out = jnp.concatenate(
+            [out, jnp.zeros(out_len - out.shape[0], jnp.int32)])
+    if bs:
+        b = (wu >> (32 - bs)).astype(jnp.int32)
+        zb = jnp.zeros(woff + 1, dtype=jnp.int32)
+        ob = jnp.concatenate([zb, b])[:out_len]
+        if ob.shape[0] < out_len:
+            ob = jnp.concatenate(
+                [ob, jnp.zeros(out_len - ob.shape[0], jnp.int32)])
+        out = out | ob
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("lits", "lead", "emit_n"))
 def _ml_slice_words(ext, lits, lead: int, emit_n: int):
     """Word-packed (starts, ends) for emit positions [lead, lead+emit_n)
@@ -332,6 +354,204 @@ def line_spans_events(kind_words, n: int, cap: int, mode: str,
         pos, kind, cnt, _dev_i32(n), cap, mode, anchored, k, plen,
         interpret=interpret)
     return spans, cntm, ok1 & ok2
+
+
+# ---------------------------------------------------------------------------
+# INNER family on the event stream + per-word payload tables
+# ---------------------------------------------------------------------------
+# email/url shapes ([class-run] lit suffix): candidates are lit
+# occurrences with >= m class members before them; the suffix is
+# verified by one ResetScanner pass (resets at candidate+k); per-
+# candidate run starts and last-flag-in-interval then resolve from
+# per-WORD tables riding the payload chain — replacing the round-4
+# corpus-sized cummin cascades and three separate compactions.
+
+def _floor_log2(v):
+    """floor(log2(v)) for int32 v>0 via smear+popcount (exact — a f32
+    conversion could round 2^k-1 up and lie about the exponent);
+    returns -1 for v == 0.  Bit 31 set smears to all-ones -> 31."""
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    return jax.lax.population_count(v) - 1
+
+
+def cummax_fast(x, neg):
+    """Inclusive running max of a 1-D int32 array via a 2-D reshape
+    (XLA's 1-D cummax lowers to many full passes at tens of millions of
+    elements); `neg` = identity element."""
+    m = int(x.shape[0])
+    C = 1024
+    R = -(-m // C)
+    pad = R * C - m
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, neg, x.dtype)])
+    x2 = x.reshape(R, C)
+    row = jax.lax.cummax(x2, axis=1)
+    rmax = row[:, -1]
+    carry = jnp.concatenate([jnp.full(1, neg, x.dtype),
+                             jax.lax.cummax(rmax)[:-1]])
+    return jnp.maximum(row, carry[:, None]).reshape(-1)[:m]
+
+
+def _word_lastpos_table(bits_w, nw: int):
+    """lastpos_w[i] = highest set-bit POSITION strictly before word i
+    (-1 if none): per-word top bit + exclusive running max."""
+    base = jnp.arange(nw, dtype=jnp.int32) * 32
+    top = jnp.where(bits_w != 0, base + _floor_log2(bits_w),
+                    jnp.int32(-1))
+    incl = cummax_fast(top, -1)
+    return jnp.concatenate([jnp.full(1, -1, jnp.int32), incl[:-1]])
+
+
+@functools.partial(jax.jit, static_argnames=("ranges", "lit", "m",
+                                             "bounds"))
+def inner_cand_symbols(dev, ranges, lit: Tuple[int, ...], m: int,
+                       bounds: Tuple[int, ...]):
+    """inner_cand_arrays fused with the flag scan's symbol build (the
+    two share the corpus pass): returns (candw, mw, lastnm_w,
+    symbols u8 [n+32], cand_count)."""
+    from .compact2 import _bucket_up
+    n = dev.shape[0]
+    k = len(lit)
+    member = _range_mask(dev, ranges)
+    hit = _memmem_mask(dev, lit)
+    valid = hit
+    for j in range(1, m + 1):
+        valid = valid & jnp.concatenate(
+            [jnp.zeros(j, dtype=bool), member[:-j]])
+    valid = valid & (jnp.arange(n, dtype=jnp.int32) <= n - k - 1)
+    rmask = jnp.concatenate([jnp.zeros(k, dtype=bool), valid[:-k]]) \
+        if k < n else jnp.zeros(n, dtype=bool)
+    nwb = _bucket_up(max(-(-int(n) // 32), 1))
+    candw = _pad_pack(valid, n)
+    mw = _pad_pack(member, n)
+    nonm_w = _pad_pack(~member, n)
+    lastnm_w = _word_lastpos_table(nonm_w, nwb)
+    cls = jnp.zeros(dev.shape, dtype=jnp.int32)
+    for b in bounds:
+        cls = cls + (dev >= np.uint8(b)).astype(jnp.int32)
+    sym = (2 * cls + rmask.astype(jnp.int32)).astype(jnp.uint8)
+    sym = jnp.concatenate([sym, jnp.zeros(32, dtype=jnp.uint8)])
+    return candw, mw, lastnm_w, sym, _count(valid)
+
+
+@functools.partial(jax.jit, static_argnames=("ranges", "lit", "m"))
+def inner_cand_arrays(dev, ranges, lit: Tuple[int, ...], m: int):
+    """(candw, mw, lastnm_w, rmask bool[n], cand_count) — one fused
+    dispatch.  Candidates = lit occurrences with >= m members
+    immediately before AND c + k < n (a nonempty suffix cannot match at
+    EOI, and the reset bit must exist)."""
+    from .compact2 import _bucket_up
+    n = dev.shape[0]
+    k = len(lit)
+    member = _range_mask(dev, ranges)
+    hit = _memmem_mask(dev, lit)
+    valid = hit
+    for j in range(1, m + 1):
+        valid = valid & jnp.concatenate(
+            [jnp.zeros(j, dtype=bool), member[:-j]])
+    valid = valid & (jnp.arange(n, dtype=jnp.int32) <= n - k - 1)
+    rmask = jnp.concatenate([jnp.zeros(k, dtype=bool), valid[:-k]]) \
+        if k < n else jnp.zeros(n, dtype=bool)
+    nwb = _bucket_up(max(-(-int(n) // 32), 1))
+    candw = _pad_pack(valid, n)
+    mw = _pad_pack(member, n)
+    nonm_w = _pad_pack(~member, n)
+    lastnm_w = _word_lastpos_table(nonm_w, nwb)
+    return candw, mw, lastnm_w, rmask, _count(valid)
+
+
+@jax.jit
+def inner_flag_arrays(flag, eoi_flag):
+    """(flagw over the [n+1] domain, lastflag_w, global-last-flag) from
+    the suffix scan's per-position flags + EOI acceptance."""
+    from .compact2 import _bucket_up
+    n = int(flag.shape[0])
+    flag1 = jnp.concatenate([flag, eoi_flag.reshape(1)])
+    nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
+    flagw = _pad_pack(flag1, n + 1)
+    lastflag_w = _word_lastpos_table(flagw, nwb1)
+    base = jnp.arange(nwb1, dtype=jnp.int32) * 32
+    top = jnp.where(flagw != 0, base + _floor_log2(flagw),
+                    jnp.int32(-1))
+    glob = top.max()
+    return flagw, lastflag_w, glob
+
+
+@functools.partial(jax.jit, static_argnames=("nwb1",))
+def inner_flag_arrays_words(fw_raw, nwb1: int):
+    """As inner_flag_arrays but from the FlagResetScanner's word output
+    (already covering the [n+1] domain, bits past n masked): pads to
+    the chain bucket and derives the per-word tables."""
+    m = int(fw_raw.shape[0])
+    if m < nwb1:
+        flagw = jnp.concatenate(
+            [fw_raw, jnp.zeros(nwb1 - m, dtype=jnp.int32)])
+    else:
+        flagw = fw_raw[:nwb1]
+    lastflag_w = _word_lastpos_table(flagw, nwb1)
+    base = jnp.arange(nwb1, dtype=jnp.int32) * 32
+    top = jnp.where(flagw != 0, base + _floor_log2(flagw),
+                    jnp.int32(-1))
+    glob = top.max()
+    return flagw, lastflag_w, glob
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "k", "m", "M",
+                                             "b_empty", "interpret"))
+def inner_assemble(c_pos, mw_i, lastnm_i, r_pos, flagw_i, lastflag_i,
+                   cntA, cntB, okAB, glob_lf, conv, interf, n_dev,
+                   cap: int, k: int, m: int, M: int,
+                   b_empty: bool = False, fixed_ends=None,
+                   interpret: bool = False):
+    """Per-candidate (smin, smax, end) from the chained payloads +
+    flexible Go selection + compaction of the selected spans.
+    Returns (spans [cap,2], nsel, ok).  b_empty: no suffix — every
+    candidate verified with the caller's fixed_ends."""
+    from .compact2 import compact_pay
+    from .span_kernels import _go_select_flex_round
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < cntA
+    ONE = jnp.int32(1)
+    # smin: last nonmember before the candidate, in-word bits first
+    bitc = c_pos & 31
+    v = (~mw_i) & ((ONE << bitc) - 1)
+    lastnm = jnp.where(v != 0, (c_pos & ~31) + _floor_log2(v),
+                       lastnm_i)
+    smin = lastnm + 1
+    if M != -1:
+        smin = jnp.maximum(smin, c_pos - M)
+    smax = c_pos - m
+    if b_empty:
+        ends = fixed_ends
+        verified = live
+    else:
+        # end: last flag strictly inside (r_i, r_{i+1}); LF[i] = last
+        # flag strictly before r_i comes from event i's own payloads,
+        # so the interval end is LF[i+1] (the final interval uses the
+        # global last flag, which includes the EOI bit at n)
+        bitr = r_pos & 31
+        vf = flagw_i & ((ONE << bitr) - 1)
+        lf_here = jnp.where(vf != 0, (r_pos & ~31) + _floor_log2(vf),
+                            lastflag_i)
+        ends = jnp.concatenate([lf_here[1:],
+                                jnp.full(1, 0, jnp.int32)])
+        ends = jnp.where(idx == cntA - 1, glob_lf, ends)
+        verified = live & (ends > r_pos)
+    smax_sel = jnp.where(verified, smax, jnp.int32(-2))
+    sel, stable, starts = _go_select_flex_round(
+        smin, smax_sel, ends, verified, rounds=24)
+    sel = sel & verified
+    out = compact_pay(sel, [starts, ends], cap, interpret=interpret)
+    _, s_c, e_c, nsel, okc = out
+    livem = jnp.arange(cap, dtype=jnp.int32) < nsel
+    e_c = jnp.where(livem, e_c, s_c)
+    s_c = jnp.where(livem, s_c, n_dev)
+    ok = okAB & okc & stable & (cntA == cntB) & conv & ~interf
+    return jnp.stack([s_c, e_c], axis=1), nsel, ok
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,34 @@ def test_sparse_events_words(K):
     assert (pos[len(exp_pos):] == n).all()
 
 
+@pytest.mark.parametrize("P", [1, 2, 3])
+def test_sparse_chain_payloads(P):
+    from coregex_tpu.ops.compact2 import (pack_words,
+                                          sparse_chain_payloads)
+    rng = np.random.default_rng(60 + P)
+    n = 256 * 128 * 4 * 2 + 100
+    nw = -(-n // 32)
+    mask = rng.random(n) < 0.004
+    mp = np.pad(mask, (0, nw * 32 - n))
+    words = np.asarray(jax.device_get(
+        pack_words(jnp.asarray(mp.astype(np.int8)), nw)))
+    pays = [rng.integers(-2**31, 2**31 - 1, nw, dtype=np.int32)
+            for _ in range(P)]
+    exp = np.flatnonzero(mask)
+    cap = max(16, len(exp) + 9)
+    out = sparse_chain_payloads(jnp.asarray(words),
+                                [jnp.asarray(p) for p in pays], n, cap,
+                                interpret=True)
+    pos = np.asarray(jax.device_get(out[0]))
+    cnt = int(jax.device_get(out[1 + P]))
+    ok = bool(jax.device_get(out[2 + P]))
+    assert ok and cnt == len(exp)
+    assert (pos[:cnt] == exp).all()
+    for k in range(P):
+        pv = np.asarray(jax.device_get(out[1 + k]))
+        assert (pv[:cnt] == pays[k][exp // 32]).all()
+
+
 def test_multi_literal_words_big_matches_fused(monkeypatch):
     from coregex_tpu.ops import span_chain
     from coregex_tpu.ops.span_chain import (multi_literal_words,
