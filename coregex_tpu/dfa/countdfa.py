@@ -47,6 +47,16 @@ from .dense import CTX_NL, CTX_OTHER, CTX_SOT, CTX_WORD, DEAD, DenseDFA
 DEFAULT_CHAIN_LIMIT = 12
 DEFAULT_STATE_LIMIT = 4096
 EMIT_LIMIT = 31  # emit packs into 5 bits next to delta in device tables
+SPAN_EMIT_LIMIT = 7  # span tables pack commits in 3 bits next to 2 flag bits
+
+# diagnostic hook: set to a list to record why spans_simple was cleared
+_SPAN_TRACE = None
+
+# eoi_kind values (span-event reconstruction at end of input)
+EOI_NONE = 0      # no EOI match: every group's end = its last flag
+EOI_EXTEND = 1    # last flagged frame matches at EOI: last group end -> n
+EOI_EXTRA = 2     # the fresh frame matches at EOI: append one end-n match
+EOI_COMPLEX = 3   # EOI walk drops a flagged frame: events polluted
 
 
 @dataclass
@@ -58,6 +68,19 @@ class CountDFA:
     classes: np.ndarray      # [256] int32
     pattern: str = ""
     max_chain: int = 1
+    # span-event tables (round 5, build_count_dfa only): flag_on marks
+    # transitions where the first-flagging frame flagged (a candidate
+    # match END at the current position); first_on marks the subset that
+    # are the flagging frame's FIRST flag (group boundaries).  Valid for
+    # event-stream span reconstruction only when spans_simple — no
+    # reachable transition ever truncates an already-flagged frame, so
+    # flags partition into consecutive per-match groups and each match's
+    # end is its group's last flag (the EOI tail resolves via eoi_kind
+    # at the scan's final state).  See ops/span_scan.py.
+    flag_on: Optional[np.ndarray] = None   # [S, C] bool
+    first_on: Optional[np.ndarray] = None  # [S, C] bool
+    eoi_kind: Optional[np.ndarray] = None  # [S, 4] int8
+    spans_simple: bool = False
     # nullable transducers advance one BYTE after an empty match; Go
     # advances one RUNE (utf8.DecodeRune width).  The two agree unless an
     # empty-match advance lands on a byte that starts a valid multi-byte
@@ -88,6 +111,46 @@ class CountDFA:
                 self.eoi_commits.nbytes + self.starts.nbytes +
                 self.classes.nbytes)
 
+    def without_spans(self) -> "CountDFA":
+        """Copy with the span-event tables dropped, so `minimized()`
+        merges on count behavior alone (the count select tree stays
+        maximally minimized: span-observable rows split 1-4 extra
+        states on the bench patterns)."""
+        from dataclasses import replace
+        return replace(self, flag_on=None, first_on=None,
+                       eoi_kind=None, spans_simple=False)
+
+    def span_ends_scan(self, data) -> Optional[List[int]]:
+        """Host oracle: match ENDS reconstructed from the span-event
+        stream (spans_simple only).  Flags partition into consecutive
+        groups delimited by first-flags; each group's end is its last
+        flag; eoi_kind at the final state resolves the tail.  This is
+        the sequential twin of the device reconstruction in
+        ops/span_scan.py — tests pin both against re.finditer."""
+        if not self.spans_simple or self.flag_on is None:
+            return None
+        s = int(self.starts[CTX_SOT])
+        ends: List[int] = []
+        cur = -1  # current group's last flag (-1: no open group)
+        delta, flag, first = self.delta, self.flag_on, self.first_on
+        for p, c in enumerate(self.classes[np.asarray(data,
+                                                     dtype=np.uint8)]):
+            if flag[s, c]:
+                if first[s, c] and cur >= 0:
+                    ends.append(cur)
+                cur = p
+            s = int(delta[s, c])
+        if cur >= 0:
+            ends.append(cur)
+        kind = int(self.eoi_kind[s, CTX_SOT])
+        if kind == EOI_COMPLEX:
+            return None
+        if kind == EOI_EXTEND:
+            ends[-1] = len(data)
+        elif kind == EOI_EXTRA:
+            ends.append(len(data))
+        return ends
+
     def minimized(self) -> "CountDFA":
         """Mealy-machine minimization (Moore partition refinement):
         states with identical observable behavior — emit row, EOI row,
@@ -97,11 +160,17 @@ class CountDFA:
         row/column dedup (ops/count_scan.py) because equivalent-but-not-
         identical rows collapse too."""
         S, C = self.delta.shape
-        # initial partition: (emit row, eoi row)
+        # initial partition: (emit row, eoi row) — plus the span-event
+        # rows when present (states with different flag/first/eoi-kind
+        # behavior must NOT merge: the event stream is observable)
         sig0 = {}
         part = np.zeros(S, dtype=np.int64)
         for s in range(S):
             key = (tuple(self.emit[s]), tuple(self.eoi_commits[s]))
+            if self.flag_on is not None:
+                key = key + (tuple(self.flag_on[s]),
+                             tuple(self.first_on[s]),
+                             tuple(self.eoi_kind[s]))
             part[s] = sig0.setdefault(key, len(sig0))
         while True:
             sig = {}
@@ -128,7 +197,14 @@ class CountDFA:
         return CountDFA(delta=delta, emit=emit, eoi_commits=eoi,
                         starts=starts, classes=self.classes.copy(),
                         pattern=self.pattern, max_chain=self.max_chain,
-                        requires_width1=self.requires_width1)
+                        requires_width1=self.requires_width1,
+                        flag_on=(None if self.flag_on is None
+                                 else self.flag_on[rep].copy()),
+                        first_on=(None if self.first_on is None
+                                  else self.first_on[rep].copy()),
+                        eoi_kind=(None if self.eoi_kind is None
+                                  else self.eoi_kind[rep].copy()),
+                        spans_simple=self.spans_simple)
 
 
 # Frames are run-length compressed: ((u_state, multiplicity), ...).  Equal
@@ -393,6 +469,10 @@ def build_count_dfa(u: DenseDFA,
     rows_d: List[np.ndarray] = []
     rows_e: List[np.ndarray] = []
     rows_eoi: List[np.ndarray] = []
+    rows_flag: List[np.ndarray] = []
+    rows_first: List[np.ndarray] = []
+    rows_kind: List[np.ndarray] = []
+    spans_simple = True
     max_chain = 1
     i = 0
     while i < len(keys):
@@ -400,22 +480,43 @@ def build_count_dfa(u: DenseDFA,
         drow = np.zeros(C, dtype=np.int32)
         erow = np.zeros(C, dtype=np.int16)
         eoirow = np.zeros(4, dtype=np.int16)
+        flagrow = np.zeros(C, dtype=bool)
+        firstrow = np.zeros(C, dtype=bool)
+        kindrow = np.zeros(4, dtype=np.int8)
         if frames:
             total_mult = sum(m for _, m in frames)
+            K = total_mult
             max_chain = max(max_chain, total_mult)
             for c in range(C):
-                # 1. first flagging (expanded) frame truncates + respawns
+                # 1. first flagging (expanded) frame truncates + respawns.
+                #    Span events (round 5): the expanded frame invariant is
+                #    "frames 0..K-2 flagged, frame K-1 the fresh unflagged
+                #    search" (spawns only happen at flags), so a flag by
+                #    frame j < K-2 truncates an already-FLAGGED frame —
+                #    its recorded flags would pollute the event stream —
+                #    and the table is marked not spans_simple.  j == K-1
+                #    is the fresh frame's FIRST flag (group boundary);
+                #    j == K-2 is a greedy re-flag of the current group.
                 out: List[Tuple[int, int]] = []
                 flagged = False
+                j_exp = 0
                 for (s, m) in frames:
                     if match_u[s, c]:
                         out.append((s, 1))
                         flagged = True
                         break
                     out.append((s, m))
+                    j_exp += m
                 if flagged:
                     out.append((int(starts_u[pctx if needs_ctx
                                              else CTX_SOT]), 1))
+                    flagrow[c] = True
+                    firstrow[c] = j_exp == K - 1
+                    if j_exp < K - 2:
+                        if _SPAN_TRACE is not None:
+                            _SPAN_TRACE.append(("flag-trunc", frames, c,
+                                                j_exp, K))
+                        spans_simple = False
                 # 2. step every frame
                 merged: List[Tuple[int, int]] = []
                 for (s, m) in out:
@@ -429,8 +530,12 @@ def build_count_dfa(u: DenseDFA,
                 while merged and merged[0][0] == DEAD:
                     s, m = merged[0]
                     if len(merged) == 1:
-                        # all frames dead: the last (pre-flag) frame should
-                        # be immortal; commit the flagged ones and absorb
+                        # all frames dead (the rune-based unanchored hunt
+                        # dies on malformed UTF-8): flagged copies commit,
+                        # the chain goes dead and stays matchless.  Span
+                        # events remain consistent — committed groups
+                        # closed by their last flags, no frame survives
+                        # to re-flag — so spans_simple is unaffected.
                         commits += m - 1
                         merged = []
                         break
@@ -438,6 +543,8 @@ def build_count_dfa(u: DenseDFA,
                     merged.pop(0)
                 if commits > EMIT_LIMIT:
                     return None
+                if commits > SPAN_EMIT_LIMIT:
+                    spans_simple = False
                 if sum(m for _, m in merged) > chain_limit:
                     return None
                 if not merged:
@@ -462,9 +569,21 @@ def build_count_dfa(u: DenseDFA,
                     pos += m
                 eoirow[ctx] = (commits if commits is not None
                                else total_mult - 1)
+                # span-event EOI kind (see module constants)
+                if commits is None:
+                    kindrow[ctx] = EOI_NONE
+                elif pos == K - 1:
+                    kindrow[ctx] = EOI_EXTRA
+                elif pos == K - 2:
+                    kindrow[ctx] = EOI_EXTEND
+                else:
+                    kindrow[ctx] = EOI_COMPLEX
         rows_d.append(drow)
         rows_e.append(erow)
         rows_eoi.append(eoirow)
+        rows_flag.append(flagrow)
+        rows_first.append(firstrow)
+        rows_kind.append(kindrow)
         i += 1
 
     return CountDFA(
@@ -475,4 +594,8 @@ def build_count_dfa(u: DenseDFA,
         classes=u.classes.astype(np.int32),
         pattern=u.pattern,
         max_chain=max_chain,
+        flag_on=np.stack(rows_flag),
+        first_on=np.stack(rows_first),
+        eoi_kind=np.stack(rows_kind),
+        spans_simple=spans_simple,
     )

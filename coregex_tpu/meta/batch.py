@@ -334,6 +334,11 @@ class BatchEngine:
         # FlagResetScanner per (dfa kind, reset ctx) — extended-alphabet
         # tables built once per engine
         self._flag_scanner_cache = {}
+        # bidirectional span path (lazy scanners + per-call corpus info)
+        self._span_sc = None
+        self._span_sc_ascii = None
+        self._bidi_ascii = False
+        self._bidi_data = None
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -476,7 +481,8 @@ class BatchEngine:
         "COREGEX_TPU_MAX_DEV_SPANS", str(128 * 1024 * 1024)))
 
     _SPARSE_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
-                        "NULLABLE_CORE", "LINE_SHAPE", "INNER")
+                        "NULLABLE_CORE", "LINE_SHAPE", "INNER",
+                        "PREFIX_RUN", "PREFIX_SET", "FULL_SCAN")
 
     def _spans_limit(self, strat) -> int:
         if strat.name in self._SPARSE_FAMILIES:
@@ -500,7 +506,8 @@ class BatchEngine:
 
     # strategies whose builders accept known_cnt (warm sync-free path)
     _WARM_FAMILIES = ("LITERAL", "MULTI_LITERAL", "CHARCLASS",
-                      "LINE_SHAPE", "INNER")
+                      "LINE_SHAPE", "INNER", "PREFIX_RUN",
+                      "PREFIX_SET", "FULL_SCAN")
 
     def find_all_spans_device(self, data: np.ndarray,
                               defer_ok: bool = False):
@@ -523,8 +530,9 @@ class BatchEngine:
             Strategy.LITERAL: self._literal_spans_dev,
             Strategy.MULTI_LITERAL: self._multi_literal_spans_dev,
             Strategy.LINE_SHAPE: self._line_shape_spans_dev,
-            Strategy.PREFIX_RUN: self._candidate_spans_dev,
-            Strategy.PREFIX_SET: self._candidate_spans_dev,
+            Strategy.PREFIX_RUN: self._prefix_family_spans_dev,
+            Strategy.PREFIX_SET: self._prefix_family_spans_dev,
+            Strategy.FULL_SCAN: self._bidi_spans_dev,
             Strategy.INNER: self._inner_spans_dev,
         }
         b = builders.get(strat)
@@ -534,6 +542,12 @@ class BatchEngine:
         fp = _fingerprint(data) if warm else None
         known = self._spans_cnt_cache.get(fp) if (warm and defer_ok) \
             else None
+        if strat in (Strategy.PREFIX_RUN, Strategy.PREFIX_SET,
+                     Strategy.FULL_SCAN):
+            # span-transducer scanner choice (ASCII-projected tables
+            # when the corpus allows; verdict cached per device buffer)
+            self._bidi_ascii = corpus_is_ascii(data)
+            self._bidi_data = data
         with _DEVICE_LOCK:
             try:
                 if b is None:
@@ -582,9 +596,9 @@ class BatchEngine:
         if (plan.strategy != Strategy.CHARCLASS or cc is None
                 or cc.min != 1 or cc.max != -1 or cc.plus
                 or not corpus_is_ascii(data)):
-            # non-[class]+ cores / UTF-8 corpora keep the host fill
-            # (exact; rune boundaries + covered-interval diff there)
-            return None
+            # general cores / UTF-8 corpora: core spans from the core
+            # engine's own device builder + device fill (round 5)
+            return self._nullable_general_spans_dev(be, data, n)
         dev = device_corpus(data)
         member = _class_mask_from_table(dev, np.array(cc.table,
                                                      dtype=bool))
@@ -604,6 +618,49 @@ class BatchEngine:
         if not bool(jax.device_get(cs == ce)):  # pragma: no cover
             return None
         return jnp.stack([starts, ends], axis=1), total
+
+    def _nullable_general_spans_dev(self, core_be, data, n):
+        """Device nullable FindAll for GENERAL cores and UTF-8 corpora
+        (round 5, verdict item 6): the core's spans come from its own
+        device builder (any family), and the empty fill-in — rune
+        boundaries minus covered intervals minus core ends
+        (meta/nullable.py:fill_empties) — runs as device algebra with a
+        chain compaction of the empties and a searchsorted merge.
+        Reference: one streaming loop for all of it,
+        meta/findall.go:176-283."""
+        import jax
+        from ..ops.bytescan import _bucket
+        from ..ops.compact2 import _bucket_up, sparse_positions_words
+        from ..ops.span_chain import (_dev_i32, nullable_fill_words,
+                                      nullable_merge)
+        from ..utils.corpus_cache import device_corpus
+        if n < 4 or n > self.DEVICE_SPANS_LIMIT:
+            return None
+        if core_be.plan.strategy == Strategy.HOST:
+            return None
+        r = core_be.find_all_spans_device(data)
+        if r is None:
+            return None
+        spans_c, cnt_c = r
+        dev = device_corpus(data)
+        nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
+        Bw, ne_d = nullable_fill_words(spans_c, _dev_i32(cnt_c), dev,
+                                       corpus_is_ascii(data), nwb1)
+        ne = int(jax.device_get(ne_d))
+        total = cnt_c + ne
+        if total > self.MAX_DEVICE_SPANS:
+            return None
+        if ne == 0:
+            return spans_c, cnt_c
+        capK = _bucket(ne, 16)
+        emp_pos, ke, ok1 = sparse_positions_words(Bw, n + 1, capK)
+        capT = _bucket(total, 16)
+        spans, total_d = nullable_merge(spans_c, _dev_i32(cnt_c),
+                                        emp_pos, ne_d, _dev_i32(n),
+                                        capT)
+        if not bool(jax.device_get(ok1 & (ke == ne_d))):
+            return None  # pragma: no cover - chain contract broken
+        return spans, total
 
     def _literal_spans_dev(self, dev, n, known_cnt=None, fp=None):
         """One fused mask->words dispatch + count sync + sparse chain:
@@ -913,6 +970,143 @@ class BatchEngine:
         return spans, nsel_dev, ok
 
 
+    # -- bidirectional event-stream extraction (round 5) ----------------
+    # Forward span-transducer scan (ends) + reverse-anchored reset scan
+    # (starts): two count-kernel-speed corpus passes + hit-sized chain
+    # assembly, for ANY pattern whose count transducer is spans_simple —
+    # the PREFIX_RUN/PREFIX_SET families (ip/version) and FULL_SCAN
+    # (including >64-literal alternations through the dense DFA).  The
+    # TPU re-expression of the reference's 2-pass bidirectional FindAll
+    # fast path (meta/findall.go:216-239).
+
+    def _span_scanner(self, ascii_ok: bool):
+        """Lazy SpanScanner over the span-event transducer (False when
+        out of scope: no count transducer, not spans_simple, or select
+        tree too large for the Mosaic kernel)."""
+        slot = "_span_sc_ascii" if ascii_ok else "_span_sc"
+        cur = getattr(self, slot, None)
+        if cur is None:
+            cur = False
+            csc = (self._count_scanner_ascii() if ascii_ok
+                   else self._count_scanner())
+            cd_raw = getattr(csc, "span_cd_raw", None) if csc else None
+            if cd_raw is not None and cd_raw.spans_simple:
+                cd = cd_raw.minimized()
+                if cd.spans_simple:
+                    from ..ops.span_scan import SpanScanner
+                    sc = SpanScanner(cd)
+                    if (sc.impl != "pallas"
+                            or sc.dsd.tree_ops()
+                            <= self.COUNT_TREE_LIMIT):
+                        cur = sc
+            setattr(self, slot, cur)
+        return cur
+
+    def _span_scanner_for_corpus(self):
+        if self._bidi_ascii:
+            sc = self._span_scanner(True)
+            if sc:
+                return sc
+        return self._span_scanner(False)
+
+    def _rev_flag_scanner(self):
+        """Lazy pre-reset FlagResetScanner over the anchored reverse
+        DFA (all-starts: break_at_match=False keeps every viable match
+        start flagged); None when out of scope."""
+        key = ("rev_anch_pre", 0)
+        sc = self._flag_scanner_cache.get(key)
+        if sc is None:
+            from ..ops.flag_scan import FlagResetScanner
+            sc = False
+            try:
+                dd = self._dense("rev_anch")
+            except DFAOverflow:
+                dd = None
+            if dd is not None:
+                hs = dd.host_starts
+                # look-free patterns (the only ones routed here) have
+                # context-independent start closures; the determinizer
+                # may still mint a separate SOT id, so require only the
+                # non-SOT contexts to agree and use CTX_OTHER
+                if int(hs[1]) == int(hs[2]) == int(hs[3]):
+                    try:
+                        cand = FlagResetScanner(dd, 3,
+                                                flag_pre_reset=True)
+                        t = cand.tables
+                        ops = t.NSEG + t.S + t.R * (t.Cp + 1)
+                        if (cand.impl != "pallas"
+                                or ops <= self.COUNT_TREE_LIMIT):
+                            sc = cand
+                    except ValueError:
+                        pass
+            self._flag_scanner_cache[key] = sc
+        return sc or None
+
+    def _prefix_family_spans_dev(self, dev, n, known_cnt=None, fp=None):
+        """PREFIX_RUN / PREFIX_SET: bidirectional path first; the
+        round-4 candidate/reset-scan pipeline as device fallback."""
+        r = self._bidi_spans_dev(dev, n, known_cnt=known_cnt, fp=fp)
+        if r is not None:
+            return r
+        if known_cnt is not None or n > self.DEVICE_SPANS_LIMIT:
+            return None
+        return self._candidate_spans_dev(dev, n)
+
+    def _bidi_spans_dev(self, dev, n, known_cnt=None, fp=None):
+        """(spans, cnt, ok) via the bidirectional event-stream engine,
+        or None (out of scope / failed validation).  Cold path: one
+        sync after the forward scan (event count, total, EOI kind);
+        warm path: sync-free, ok deferred to the caller."""
+        import jax
+        from ..dfa.countdfa import EOI_COMPLEX
+        from ..ops.bytescan import _bucket
+        from ..ops.compact2 import _bucket_up
+        from ..ops.span_chain import bidi_assemble, bidi_ends
+        from ..utils.corpus_cache import device_corpus_flipped
+        if self.longest or self.plan.nullable or litmod.has_looks(
+                self.ast):
+            return None
+        ssc = self._span_scanner_for_corpus()
+        if not ssc:
+            return None
+        rsc = self._rev_flag_scanner()
+        if rsc is None:
+            return None
+        fw, gw, _nev_d, total_d, kind_d, conv = ssc.scan(dev)
+        if known_cnt is None:
+            total, kind, convh = (
+                int(x) for x in jax.device_get(
+                    (total_d, kind_d, conv)))
+            if not convh or kind == EOI_COMPLEX:
+                return None
+            if fp is not None:
+                self._spans_cnt_cache[fp] = (total, kind)
+        else:
+            total, kind = known_cnt
+        if total == 0:
+            return _empty_spans_dev(), 0, None
+        if total > self.MAX_DEVICE_SPANS:
+            return None
+        capM = _bucket(total + 1, 16)
+        nwb = _bucket_up(max(-(-n // 32), 1))
+        nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
+        devf = device_corpus_flipped(self._bidi_data)
+        from ..ops.span_chain import _dev_i32
+        n_dev = _dev_i32(n)
+        ends_c, cntF_d, syms, rw, okA = bidi_ends(
+            fw, gw, devf, rsc.byte_bounds(), n_dev, total_d, kind_d,
+            capM, nwb, nwb1)
+        fw_rev, _interf, conv2 = rsc.scan_words_syms(syms, n)
+        spans, cnt_d, ok = bidi_assemble(ends_c, cntF_d, rw, fw_rev,
+                                         n_dev, capM, nwb1)
+        ok = ok & okA & conv & conv2
+        if known_cnt is None:
+            okh = bool(jax.device_get(ok))
+            if not okh:
+                return None
+            return spans, total, None
+        return spans, cnt_d, ok
+
     # interleaved verification handles tens of millions of candidates
     # (contiguous scans, no per-candidate gathers); the cap bounds the
     # compaction buffers
@@ -1172,7 +1366,8 @@ class BatchEngine:
             return False
         if cd is None:
             return False
-        cd = cd.minimized()
+        cd_raw = cd
+        cd = cd.without_spans().minimized()
         sc = CountScanner(cd)
         d = sc.dcd
         tree_ops = d.NB + d.NSEG + d.S + d.R * (d.Cp + 1)
@@ -1181,6 +1376,9 @@ class BatchEngine:
             # row/column-merged table): switch to the gather-free
             # onehot MXU path (same exactness)
             sc = CountScanner(cd, impl="onehot")
+        # unminimized span-event transducer for the bidirectional span
+        # path (ops/span_scan.py); minimized span-aware on first use
+        sc.span_cd_raw = cd_raw
         return sc
 
     def _count_scanner_ascii(self):

@@ -48,9 +48,18 @@ except Exception:  # pragma: no cover
 
 class ResetFlagTables:
     """Extended-alphabet tables for a DeviceDFA + constant reset
-    context, row/column-merged for the select tree."""
+    context, row/column-merged for the select tree.
 
-    def __init__(self, ddfa, reset_ctx: int):
+    flag_pre_reset=True evaluates the flag at a reset position against
+    the OLD run's state instead of the fresh start (the transition
+    still resets): the bidirectional span path's reverse scan needs the
+    boundary flag "match start exactly at the previous match's end",
+    which the reset would otherwise mask (meta/batch.py:_bidi_spans_dev).
+    Interference accounting is dropped in this mode — truncating a live
+    run at a reset is the expected behavior there, not a failure."""
+
+    def __init__(self, ddfa, reset_ctx: int,
+                 flag_pre_reset: bool = False):
         delta = np.asarray(ddfa.delta)
         match = np.asarray(ddfa.match_on)
         starts = np.asarray(ddfa.host_starts)
@@ -64,10 +73,11 @@ class ResetFlagTables:
         for rs in (0, 1):
             for s in range(S):
                 s_pre = start if rs else s
+                s_flag = s if (rs and flag_pre_reset) else s_pre
                 de[s, 2 * np.arange(C) + rs] = delta[s_pre]
                 ee[s, 2 * np.arange(C) + rs] = (
-                    match[s_pre].astype(np.int32)
-                    | ((rs and s != DEAD) << 1))
+                    match[s_flag].astype(np.int32)
+                    | ((rs and s != DEAD and not flag_pre_reset) << 1))
         packed = de * 32 + ee
         self.S, self.NSEG = S, NSEG
         col_ids: dict = {}
@@ -362,8 +372,10 @@ class FlagResetScanner:
     [ceil((n+1)/32) padded], interference count, converged) — all
     device; one fused dispatch after the symbol/tile build."""
 
-    def __init__(self, ddfa, reset_ctx: int, impl=None):
-        self.tables = ResetFlagTables(ddfa, reset_ctx)
+    def __init__(self, ddfa, reset_ctx: int, impl=None,
+                 flag_pre_reset: bool = False):
+        self.tables = ResetFlagTables(ddfa, reset_ctx,
+                                      flag_pre_reset=flag_pre_reset)
         self.impl = impl or ("pallas" if (jax.default_backend() == "tpu"
                                           and HAVE_PALLAS)
                              else "gather")

@@ -555,6 +555,259 @@ def inner_assemble(c_pos, mw_i, lastnm_i, r_pos, flagw_i, lastflag_i,
 
 
 # ---------------------------------------------------------------------------
+# Bidirectional span assembly (PREFIX_RUN / FULL_SCAN families, round 5)
+# ---------------------------------------------------------------------------
+# Forward: the span-event scan (ops/span_scan.py) emits flag + first-flag
+# words; flags partition into consecutive per-match groups, each group's
+# LAST flag is a committed match end (EOI kind resolves the tail).
+# Reverse: a FlagResetScanner over the FLIPPED corpus with resets at the
+# reversed ends and pre-reset flag semantics — each reset interval's last
+# flag (furthest back == leftmost) is the match start, and the truncation
+# at the previous end IS Go's "start >= previous end" rule.  Reference
+# analogue: the 2-pass bidirectional FindAll fast path,
+# /root/reference/meta/findall.go:216-239.
+
+# EOI kinds (dfa/countdfa.py)
+_EOI_EXTEND = 1
+_EOI_EXTRA = 2
+_EOI_COMPLEX = 3
+
+
+def _fit_words(w, nwb: int):
+    m = int(w.shape[0])
+    if m < nwb:
+        return jnp.concatenate([w, jnp.zeros(nwb - m, dtype=jnp.int32)])
+    return w[:nwb]
+
+
+@functools.partial(jax.jit, static_argnames=("bounds", "capM",
+                                             "nwb", "nwb1", "interpret"))
+def bidi_ends(flagw, firstw, dev_flipped, bounds: Tuple[int, ...],
+              n_dev, total, kind, capM: int, nwb: int,
+              nwb1: int, interpret: bool = False):
+    """Forward events -> (ends [capM] ascending, final count, reverse
+    symbol stream u8 [n+32], reset words [nwb1], ok).  One dispatch.
+
+    Only FIRST flags compact (exactly one per committed group — the
+    greedy extension flags that outnumber matches never become events);
+    each group's last flag resolves from the flag-word + last-flag
+    tables riding the chain as payloads: it is the last flag STRICTLY
+    BEFORE the next group's first flag (groups are consecutive), with
+    the global last flag closing the final group.  Then the EOI-kind
+    tail fixup, count parity check, and the reverse scan's fused
+    symbol/reset build."""
+    from .compact2 import sparse_chain_payloads
+    n = int(dev_flipped.shape[0])
+    ONE = jnp.int32(1)
+    fw = _fit_words(flagw, nwb)
+    gw = _fit_words(firstw, nwb)
+    lastflag_w = _word_lastpos_table(fw, nwb)
+    base = jnp.arange(nwb, dtype=jnp.int32) * 32
+    top = jnp.where(fw != 0, base + _floor_log2(fw), jnp.int32(-1))
+    glob_f = top.max()
+    f_pos, fwi, lfi, cntM, okE = sparse_chain_payloads(
+        gw, [fw, lastflag_w], n, capM, interpret=interpret)
+    idm = jnp.arange(capM, dtype=jnp.int32)
+    live = idm < cntM
+    bitf = f_pos & 31
+    vf = fwi & (jnp.left_shift(ONE, bitf) - ONE)  # strictly below
+    lfb = jnp.where(vf != 0, (f_pos & ~31) + _floor_log2(vf), lfi)
+    ends_c = jnp.concatenate([lfb[1:], jnp.zeros(1, dtype=jnp.int32)])
+    ends_c = jnp.where(idm == cntM - 1, glob_f, ends_c)
+    ok = okE & jnp.all(jnp.where(live, ends_c >= f_pos, True))
+    ends_c = jnp.where(live, ends_c, n_dev)
+    ends_c = jnp.where((idm == cntM - 1) & (kind == _EOI_EXTEND),
+                       n_dev, ends_c)
+    extra = (kind == _EOI_EXTRA).astype(jnp.int32)
+    ends_c = jnp.where((idm == cntM) & (extra == 1), n_dev, ends_c)
+    cntF = cntM + extra
+    ok &= (cntF == total) & (kind != _EOI_COMPLEX)
+    liveF = idm < cntF
+    # reversed reset positions, emitted in ASCENDING order (flip the
+    # ascending ends) with sorted/unique scatter hints — XLA lowers the
+    # hinted scatters an order of magnitude faster than the general one
+    src0 = jnp.clip(cntF - 1 - idm, 0, capM - 1)
+    rq = jnp.where(liveF, n_dev - jnp.take(ends_c, src0),
+                   jnp.int32(2 ** 30))
+    rmask = jnp.zeros(n, dtype=bool).at[rq].set(
+        True, mode="drop", indices_are_sorted=True,
+        unique_indices=True)
+    rw = jnp.zeros(nwb1, dtype=jnp.int32).at[rq >> 5].add(
+        jnp.left_shift(ONE, rq & 31), mode="drop",
+        indices_are_sorted=True)
+    cls = jnp.zeros(dev_flipped.shape, dtype=jnp.int32)
+    for b in bounds:
+        cls = cls + (dev_flipped >= np.uint8(b)).astype(jnp.int32)
+    syms = (2 * cls + rmask.astype(jnp.int32)).astype(jnp.uint8)
+    syms = jnp.concatenate([syms, jnp.zeros(32, dtype=jnp.uint8)])
+    return ends_c, cntF, syms, rw, ok
+
+
+@functools.partial(jax.jit, static_argnames=("capM", "nwb1",
+                                             "interpret"))
+def bidi_assemble(ends_c, cntF, rw, fw_rev, n_dev, capM: int,
+                  nwb1: int, interpret: bool = False):
+    """Reverse flags -> spans.  Reset events (ascending reversed
+    position == descending ends) carry flag-word payloads; each
+    interval's last flag AT-OR-BEFORE the next reset is the leftmost
+    viable start; flip to ascending and cross-check against the
+    forward ends.  Returns (spans [capM,2], count, ok)."""
+    from .compact2 import sparse_chain_payloads
+    ONE = jnp.int32(1)
+    flagw_r, lastflag_r, glob = inner_flag_arrays_words(
+        _fit_words(fw_rev, nwb1), nwb1)
+    r_pos, fwi, lfi, cntR, okR = sparse_chain_payloads(
+        rw, [flagw_r, lastflag_r], n_dev + 1, capM,
+        interpret=interpret)
+    idx = jnp.arange(capM, dtype=jnp.int32)
+    live = idx < cntR
+    bitr = r_pos & 31
+    hi = jnp.left_shift(ONE, bitr)
+    m_incl = hi | (hi - ONE)
+    vf = fwi & m_incl
+    lfab = jnp.where(vf != 0, (r_pos & ~31) + _floor_log2(vf), lfi)
+    q_i = jnp.concatenate([lfab[1:], jnp.zeros(1, dtype=jnp.int32)])
+    q_i = jnp.where(idx == cntR - 1, glob, q_i)
+    ok = okR & (cntR == cntF) & jnp.all(
+        jnp.where(live, q_i > r_pos, True))
+    s_rev = n_dev - q_i
+    e_rev = n_dev - r_pos
+    src = jnp.clip(cntR - 1 - idx, 0, capM - 1)
+    s_a = jnp.take(s_rev, src)
+    e_a = jnp.take(e_rev, src)
+    s_a = jnp.where(live, s_a, n_dev)
+    e_a = jnp.where(live, e_a, s_a)
+    ok &= jnp.all(jnp.where(live, s_a < e_a, True))
+    nxt = jnp.concatenate([s_a[1:], jnp.full(1, 2 ** 31 - 1,
+                                             jnp.int32)])
+    ok &= jnp.all(jnp.where(idx < cntR - 1, e_a <= nxt, True))
+    ok &= jnp.all(jnp.where(live, e_a == ends_c, True))
+    return jnp.stack([s_a, e_a], axis=1), cntR, ok
+
+
+# ---------------------------------------------------------------------------
+# Nullable fill-in on device (general cores + UTF-8, round 5)
+# ---------------------------------------------------------------------------
+# FindAll(R) = FindAll(core) + empty matches at every Go rune boundary
+# not covered by a core span and not equal to a core span end
+# (meta/nullable.py's factorization; host twin fill_empties).  The core
+# spans arrive device-resident from the core engine's own builder; the
+# fill is pure device algebra: rune-boundary mask (jnp port of
+# rune_boundary_mask), interval coverage via a hit-sized diff scatter +
+# blocked cumsum, end rejection, one chain compaction of the empties,
+# and a two-sided searchsorted merge.
+
+def cumsum_i32_fast(x):
+    """Inclusive int32 cumsum via a 2-D reshape (XLA's 1-D cumsum lowers
+    to many full passes at tens of millions of elements)."""
+    m = int(x.shape[0])
+    C = 1024
+    R = -(-m // C)
+    pad = R * C - m
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+    x2 = x.reshape(R, C)
+    row = jnp.cumsum(x2, axis=1)
+    carry = jnp.concatenate(
+        [jnp.zeros(1, x.dtype), jnp.cumsum(row[:, -1])[:-1]])
+    return (row + carry[:, None]).reshape(-1)[:m]
+
+
+def _rune_boundaries(dev, n: int):
+    """[n+1] bool jnp twin of meta/nullable.py:rune_boundary_mask
+    (callers gate n >= 4)."""
+    d = dev
+    T = jnp.ones(1, dtype=bool)
+
+    def u8(v):
+        return np.uint8(v)
+
+    pad = jnp.concatenate([d, jnp.zeros(3, dtype=d.dtype)])
+    cont = (pad & u8(0xC0)) == u8(0x80)
+    s2 = pad[1:n + 1]
+    c2, c3, c4 = cont[1:n + 1], cont[2:n + 2], cont[3:n + 3]
+    two = (d >= u8(0xC2)) & (d <= u8(0xDF)) & c2
+    three = (((d == u8(0xE0)) & (s2 >= u8(0xA0)) & (s2 <= u8(0xBF)))
+             | ((d >= u8(0xE1)) & (d <= u8(0xEC)) & c2)
+             | ((d == u8(0xED)) & (s2 >= u8(0x80)) & (s2 <= u8(0x9F)))
+             | ((d >= u8(0xEE)) & (d <= u8(0xEF)) & c2)) & c3
+    four = (((d == u8(0xF0)) & (s2 >= u8(0x90)) & (s2 <= u8(0xBF)))
+            | ((d >= u8(0xF1)) & (d <= u8(0xF3)) & c2)
+            | ((d == u8(0xF4)) & (s2 >= u8(0x80)) & (s2 <= u8(0x8F)))
+            ) & c3 & c4
+    ge2 = two | three | four
+    ge3 = three | four
+    b1 = jnp.concatenate([T, ~ge2])
+    m3 = jnp.concatenate([T, T, ~ge3[:n - 1]])
+    m4 = jnp.concatenate([T, T, T, ~four[:n - 2]])
+    return b1 & m3 & m4
+
+
+@functools.partial(jax.jit, static_argnames=("ascii_only", "nwb1"))
+def nullable_fill_words(spans_c, cnt_c, dev, ascii_only: bool,
+                        nwb1: int):
+    """(empty-position words [nwb1] over the [n+1] domain, empty count):
+    rune boundaries minus core coverage minus core ends."""
+    n = int(dev.shape[0])
+    capC = int(spans_c.shape[0])
+    idx = jnp.arange(capC, dtype=jnp.int32)
+    livec = idx < cnt_c
+    BIG = jnp.int32(2 ** 30)
+    S = jnp.where(livec, spans_c[:, 0], BIG)
+    E = jnp.where(livec, spans_c[:, 1], BIG)
+    if ascii_only:
+        B = jnp.ones(n + 1, dtype=bool)
+    else:
+        B = _rune_boundaries(dev, n)
+    diff = jnp.zeros(n + 2, dtype=jnp.int32)
+    diff = diff.at[S].add(1, mode="drop", indices_are_sorted=True,
+                          unique_indices=True)
+    diff = diff.at[E].add(-1, mode="drop", indices_are_sorted=True,
+                          unique_indices=True)
+    covered = cumsum_i32_fast(diff[:n + 1]) > 0
+    B = B & ~covered
+    B = B.at[E].set(False, mode="drop", indices_are_sorted=True,
+                    unique_indices=True)
+    ne = B.sum(dtype=jnp.int32)
+    return _pad_pack(B, n + 1)[:nwb1], ne
+
+
+@functools.partial(jax.jit, static_argnames=("capT",))
+def nullable_merge(spans_c, cnt_c, emp_pos, ne, n_dev, capT: int):
+    """Interleave core spans with empty matches by position (the
+    searchsorted twin of meta/nullable.py:fill_empties).  Returns
+    (spans [capT,2], total)."""
+    capC = int(spans_c.shape[0])
+    capK = int(emp_pos.shape[0])
+    INF = jnp.int32(2 ** 31 - 1)
+    idxc = jnp.arange(capC, dtype=jnp.int32)
+    idxk = jnp.arange(capK, dtype=jnp.int32)
+    livec = idxc < cnt_c
+    livek = idxk < ne
+    S = jnp.where(livec, spans_c[:, 0], INF)
+    E = jnp.where(livec, spans_c[:, 1], jnp.int32(0))
+    emp = jnp.where(livek, emp_pos, INF)
+    pos_core = idxc + jnp.searchsorted(emp, S).astype(jnp.int32)
+    pos_emp = idxk + jnp.searchsorted(S, emp).astype(jnp.int32)
+    pos_core = jnp.where(livec, pos_core, jnp.int32(capT + 1))
+    pos_emp = jnp.where(livek, pos_emp, jnp.int32(capT + 1))
+    out_s = jnp.full(capT, n_dev, dtype=jnp.int32)
+    out_e = jnp.full(capT, n_dev, dtype=jnp.int32)
+    out_s = out_s.at[pos_core].set(jnp.where(livec, S, 0),
+                                   mode="drop")
+    out_e = out_e.at[pos_core].set(E, mode="drop")
+    out_s = out_s.at[pos_emp].set(jnp.where(livek, emp, 0),
+                                  mode="drop")
+    out_e = out_e.at[pos_emp].set(jnp.where(livek, emp, 0),
+                                  mode="drop")
+    total = cnt_c + ne
+    liveT = jnp.arange(capT, dtype=jnp.int32) < total
+    out_s = jnp.where(liveT, out_s, n_dev)
+    out_e = jnp.where(liveT, out_e, out_s)
+    return jnp.stack([out_s, out_e], axis=1), total
+
+
+# ---------------------------------------------------------------------------
 # Assembly
 # ---------------------------------------------------------------------------
 

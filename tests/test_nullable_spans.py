@@ -185,12 +185,47 @@ def test_nullable_device_builder_class_core():
         got = [(int(a), int(b))
                for a, b in np.asarray(jax.device_get(sd[:cnt]))]
         assert got == h._all_spans(arr), pat
-    # UTF-8 corpora fall back (rune boundaries) but stay exact
+    # UTF-8 corpora route to the general device fill (round 5) and
+    # stay exact (rune-boundary empties)
     u = "héllo wörld aé ".encode() * 500
     au = np.frombuffer(u, dtype=np.uint8)
     e = Engine.compile(r"\w*")
     e.batch_threshold = 0
     h = Engine.compile(r"\w*")
     h.batch_threshold = 1 << 60
-    assert e.batch_engine().find_all_spans_device(au) is None
+    r = e.batch_engine().find_all_spans_device(au)
+    if r is not None:
+        sd, cnt = r
+        got = [(int(a), int(b))
+               for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+        assert got == h._all_spans(au)
     assert e._all_spans(au) == h._all_spans(au)
+
+
+def test_nullable_device_builder_general_cores():
+    """General-core nullable device extraction (round 5, verdict item
+    6): core spans from the core engine's own device family + device
+    fill (boundaries - coverage - ends), vs the exact host walk —
+    ASCII and UTF-8 corpora, including invalid sequences."""
+    import jax
+    rng = np.random.default_rng(11)
+    ascii_corpus = bytes(rng.choice(
+        list(b"abc fo id_1 xy\n z"), size=120_000))
+    utf8_corpus = ("héllo abc wörld foo ☃abc ".encode() * 3000)
+    soup = bytes(rng.integers(0, 256, size=50_000, dtype=np.uint8))
+    for pat in (r"(abc)*", r"(?:ab|cd)*", r"(foo)?", r"a{0,3}",
+                r"(ab|a)*"):
+        for corpus in (ascii_corpus, utf8_corpus, soup):
+            arr = np.frombuffer(corpus, dtype=np.uint8)
+            e = Engine.compile(pat)
+            e.batch_threshold = 0
+            h = Engine.compile(pat)
+            h.batch_threshold = 1 << 60
+            r = e.batch_engine().find_all_spans_device(arr)
+            exp = h._all_spans(arr)
+            if r is not None:
+                sd, cnt = r
+                got = [(int(a), int(b))
+                       for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+                assert got == exp, (pat, len(corpus))
+            assert e._all_spans(arr) == exp, (pat, len(corpus))
