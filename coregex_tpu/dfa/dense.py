@@ -126,3 +126,60 @@ class DenseDFA:
         return (self.delta.nbytes + self.match_on.nbytes +
                 self.match_eoi.nbytes + self.starts.nbytes +
                 self.classes.nbytes)
+
+    def minimized(self) -> "DenseDFA":
+        """Moore minimization (partition refinement on the observable
+        rows: match_on, match_eoi, and the empty-classification rows
+        when present).  Exact — every input produces the same flag
+        stream and EOI verdicts — and DEAD keeps id 0.  Shrinks the
+        select trees of flag/reset scanners built on big automata
+        (e.g. the anchored reverse DFA of `\\d+.\\d+.\\d+` drops 64 ->
+        ~30 states)."""
+        S, C = self.delta.shape
+        sig0: dict = {}
+        part = np.zeros(S, dtype=np.int64)
+        for s in range(S):
+            key = (tuple(self.match_on[s]), tuple(self.match_eoi[s]))
+            if self.match_empty is not None:
+                key = key + (tuple(self.match_empty[s]),
+                             tuple(self.match_eoi_empty[s]))
+            part[s] = sig0.setdefault(key, len(sig0))
+        while True:
+            sig: dict = {}
+            new = np.zeros(S, dtype=np.int64)
+            for s in range(S):
+                key = (part[s],) + tuple(part[self.delta[s]])
+                new[s] = sig.setdefault(key, len(sig))
+            if len(sig) == len(set(part.tolist())):
+                part = new
+                break
+            part = new
+        R = len(set(part.tolist()))
+        if R == S:
+            return self
+        # renumber so DEAD's block is 0 (kernels rely on DEAD == 0)
+        remap = np.full(R, -1, dtype=np.int64)
+        remap[part[DEAD]] = 0
+        nxt = 1
+        for s in range(S):
+            b = part[s]
+            if remap[b] < 0:
+                remap[b] = nxt
+                nxt += 1
+        part = remap[part]
+        rep = np.full(R, -1, dtype=np.int64)
+        for s in range(S):
+            if rep[part[s]] < 0:
+                rep[part[s]] = s
+        from dataclasses import replace
+        return replace(
+            self,
+            delta=part[self.delta[rep]].astype(np.int32),
+            match_on=self.match_on[rep].copy(),
+            match_eoi=self.match_eoi[rep].copy(),
+            starts=part[self.starts].astype(np.int32),
+            classes=self.classes.copy(),
+            match_empty=(None if self.match_empty is None
+                         else self.match_empty[rep].copy()),
+            match_eoi_empty=(None if self.match_eoi_empty is None
+                             else self.match_eoi_empty[rep].copy()))

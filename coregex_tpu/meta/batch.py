@@ -339,6 +339,8 @@ class BatchEngine:
         self._span_sc_ascii = None
         self._bidi_ascii = False
         self._bidi_data = None
+        self._rev_hint_cache = {}  # corpus fp -> reverse-scan lane entries
+        self._sym_tiles_cache = {}  # reset-free reverse symbol tiles
 
     def _verify_kind(self) -> str:
         """Anchored verification DFA: leftmost-first uses break-at-match;
@@ -369,6 +371,15 @@ class BatchEngine:
             # anchored reverse DFA: match must end exactly at the scan
             # origin (find_rev_start analogue, dfa/search.py:55)
             nfa = compile_nfa(self.parsed, reverse=True)
+            d = determinize(nfa, anchored=True, break_at_match=False,
+                            reverse=True)
+        elif kind == "rev_anch_ascii":
+            # ASCII-projected anchored reverse DFA (exact when every
+            # corpus byte < 0x80): 3-6 byte classes instead of the
+            # 15-25 of the rune automaton — the same projection the
+            # count scanner uses (meta/compile.go:386-430 analogue)
+            nfa = compile_nfa(self.parsed, reverse=True,
+                              ascii_only=True)
             d = determinize(nfa, anchored=True, break_at_match=False,
                             reverse=True)
         elif kind == "rev_all":
@@ -533,6 +544,7 @@ class BatchEngine:
             Strategy.PREFIX_RUN: self._prefix_family_spans_dev,
             Strategy.PREFIX_SET: self._prefix_family_spans_dev,
             Strategy.FULL_SCAN: self._bidi_spans_dev,
+            Strategy.BITSET_NFA: self._bitset_nfa_spans_dev,
             Strategy.INNER: self._inner_spans_dev,
         }
         b = builders.get(strat)
@@ -543,7 +555,7 @@ class BatchEngine:
         known = self._spans_cnt_cache.get(fp) if (warm and defer_ok) \
             else None
         if strat in (Strategy.PREFIX_RUN, Strategy.PREFIX_SET,
-                     Strategy.FULL_SCAN):
+                     Strategy.FULL_SCAN, Strategy.BITSET_NFA):
             # span-transducer scanner choice (ASCII-projected tables
             # when the corpus allows; verdict cached per device buffer)
             self._bidi_ascii = corpus_is_ascii(data)
@@ -946,7 +958,7 @@ class BatchEngine:
                 return None  # looks in suffix: EOI undecidable in-scan
             from ..ops.compact2 import _bucket_up
             from ..ops.span_chain import inner_flag_arrays_words
-            fw_raw, interf_cnt, conv = fsc.scan_words_syms(syms, n)
+            fw_raw, interf_cnt, conv, _h = fsc.scan_words_syms(syms, n)
             nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
             flagw, lastflag_w, glob_lf = inner_flag_arrays_words(
                 fw_raw, nwb1)
@@ -1009,17 +1021,26 @@ class BatchEngine:
                 return sc
         return self._span_scanner(False)
 
-    def _rev_flag_scanner(self):
+    def _rev_flag_scanner(self, ascii_ok: bool = False):
         """Lazy pre-reset FlagResetScanner over the anchored reverse
         DFA (all-starts: break_at_match=False keeps every viable match
-        start flagged); None when out of scope."""
-        key = ("rev_anch_pre", 0)
+        start flagged); None when out of scope.  ascii_ok selects the
+        ASCII-projected tables (exact for all-ASCII corpora; far
+        smaller select trees)."""
+        kind = "rev_anch_ascii" if ascii_ok else "rev_anch"
+        key = (kind + "_pre", 0)
         sc = self._flag_scanner_cache.get(key)
         if sc is None:
             from ..ops.flag_scan import FlagResetScanner
             sc = False
             try:
-                dd = self._dense("rev_anch")
+                self._dense(kind)
+                # Moore-minimized tables: the select tree scales with
+                # S, and anchored reverse DFAs minimize well (version's
+                # 64 -> ~30)
+                from ..ops.dfa_scan import DeviceDFA
+                dd = DeviceDFA.from_dense(
+                    self._host_dense[kind].minimized())
             except DFAOverflow:
                 dd = None
             if dd is not None:
@@ -1042,6 +1063,24 @@ class BatchEngine:
             self._flag_scanner_cache[key] = sc
         return sc or None
 
+    def _sym_tiles_cache_get(self, rsc, n: int, L: int, T: int):
+        """Reset-free reverse symbol tiles for the current corpus,
+        cached on the engine (strong ref keeps the flipped buffer's id
+        stable)."""
+        from ..ops.flag_scan import _sym_base_tiles
+        from ..utils.corpus_cache import device_corpus_flipped
+        devf = device_corpus_flipped(self._bidi_data)
+        key = (id(devf), id(rsc), L, T)
+        ent = self._sym_tiles_cache.get(key)
+        if ent is None or ent[0] is not devf:
+            tiles = _sym_base_tiles(devf, rsc.byte_bounds(), L, T // 4)
+            ent = (devf, tiles)
+            self._sym_tiles_cache[key] = ent
+            while len(self._sym_tiles_cache) > 2:
+                self._sym_tiles_cache.pop(
+                    next(iter(self._sym_tiles_cache)))
+        return ent[1]
+
     def _prefix_family_spans_dev(self, dev, n, known_cnt=None, fp=None):
         """PREFIX_RUN / PREFIX_SET: bidirectional path first; the
         round-4 candidate/reset-scan pipeline as device fallback."""
@@ -1062,14 +1101,14 @@ class BatchEngine:
         from ..ops.bytescan import _bucket
         from ..ops.compact2 import _bucket_up
         from ..ops.span_chain import bidi_assemble, bidi_ends
-        from ..utils.corpus_cache import device_corpus_flipped
         if self.longest or self.plan.nullable or litmod.has_looks(
                 self.ast):
             return None
         ssc = self._span_scanner_for_corpus()
         if not ssc:
             return None
-        rsc = self._rev_flag_scanner()
+        rsc = (self._rev_flag_scanner(True) if self._bidi_ascii
+               else None) or self._rev_flag_scanner()
         if rsc is None:
             return None
         fw, gw, _nev_d, total_d, kind_d, conv = ssc.scan(dev)
@@ -1090,13 +1129,28 @@ class BatchEngine:
         capM = _bucket(total + 1, 16)
         nwb = _bucket_up(max(-(-n // 32), 1))
         nwb1 = _bucket_up(max(-(-(n + 1) // 32), 1))
-        devf = device_corpus_flipped(self._bidi_data)
+        from ..ops.flag_scan import (reset_geometry,
+                                     scatter_reset_tiles)
         from ..ops.span_chain import _dev_i32
         n_dev = _dev_i32(n)
-        ends_c, cntF_d, syms, rw, okA = bidi_ends(
-            fw, gw, devf, rsc.byte_bounds(), n_dev, total_d, kind_d,
-            capM, nwb, nwb1)
-        fw_rev, _interf, conv2 = rsc.scan_words_syms(syms, n)
+        ends_c, cntF_d, rq, rw, okA = bidi_ends(
+            fw, gw, n_dev, total_d, kind_d, capM, nwb, nwb1)
+        # reverse symbol tiles: reset-free 2*cls tiles cached per
+        # corpus; per-call reset bits scatter in the TILE domain (a
+        # corpus-sized u8 symbol intermediate measured ~7-12 ms per
+        # 256 MB per call)
+        L, T, _W, _Lc = reset_geometry(n)
+        base_tiles = self._sym_tiles_cache_get(rsc, n, L, T)
+        tiles_r = scatter_reset_tiles(base_tiles, rq, L, T // 4)
+        # lane-entry hint: the reverse scan's resets are one-per-match
+        # (too sparse for the warmup window), so a fresh scan always
+        # pays one full repair rescan; a previous converged scan of the
+        # same corpus makes it one-pass (the fixpoint still validates)
+        rhint = self._rev_hint_cache.get(fp) if fp is not None else None
+        fw_rev, _interf, conv2, rhint_out = rsc.scan_tiles(
+            tiles_r, n, entries_hint=rhint)
+        if fp is not None:
+            self._rev_hint_cache[fp] = rhint_out
         spans, cnt_d, ok = bidi_assemble(ends_c, cntF_d, rw, fw_rev,
                                          n_dev, capM, nwb1)
         ok = ok & okA & conv & conv2
@@ -1227,6 +1281,43 @@ class BatchEngine:
                 m = _memmem_mask(dev, lit)
                 smask = m if smask is None else (smask | m)
             cnt = int(jax.device_get(mask_count(smask)))
+        return self._spans_from_candidate_mask(dev, n, smask, cnt)
+
+    def _bitset_nfa_spans_dev(self, dev, n, known_cnt=None, fp=None):
+        """BITSET_NFA (DFA-overflow) device extraction: match starts
+        from the reverse bitset-NFA scan over the flipped corpus (a
+        reversed end at boundary j is a forward start at n - j), then
+        the shared interleaved-reset-scan verification + device Go
+        selection.  The anchored verification DFA is usually far
+        smaller than the overflowing unanchored one.  Reference: the
+        same bidirectional structure, meta/findall.go:216-239."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import mask_count
+        from ..utils.corpus_cache import device_corpus_flipped
+        sc = self._bitset_scanner("rev")
+        if not sc:
+            return None
+        fdev = device_corpus_flipped(self._bidi_data)
+        try:
+            fr, conv = sc.flags(fdev)
+        except Exception:  # pragma: no cover - device specific
+            return None
+        # flags[p] = a reversed match ends at boundary p+1 (match
+        # delay), i.e. a forward start at n - (p+1): flip flags[:n]
+        smask = jnp.flip(fr[:n])
+        cnt, convh = (int(x) for x in
+                      jax.device_get((mask_count(smask), conv)))
+        if not convh:
+            return None
+        return self._spans_from_candidate_mask(dev, n, smask, cnt)
+
+    def _spans_from_candidate_mask(self, dev, n, smask, cnt):
+        """Shared candidate-mask tail: interleaved reset-scan
+        verification, device Go-selection fixed point, compaction."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.bytescan import _bucket
         if cnt == 0:
             return _empty_spans_dev(), 0
         if cnt > self._DEV_FILTER_LIMIT:

@@ -119,6 +119,43 @@ def reset_symbols(dev, rmask, bounds: Tuple[int, ...]):
     return jnp.concatenate([sym, jnp.zeros(32, dtype=jnp.uint8)])
 
 
+def reset_geometry(n: int):
+    """Shared geometry for a [n+32]-symbol reset scan (the tile cache
+    and scan_tiles must agree)."""
+    return plan_geometry(n + 32)
+
+
+@functools.partial(jax.jit, static_argnames=("bounds", "L", "T4"))
+def _sym_base_tiles(dev, bounds: Tuple[int, ...], L: int, T4: int):
+    """Reset-FREE symbol word tiles (2*cls) for a corpus: cacheable per
+    (corpus, tables) — per-call reset bits scatter into a copy in the
+    TILE domain (see scatter_reset_tiles), skipping the corpus-sized
+    u8 symbol array and its per-call tile build entirely."""
+    cls = jnp.zeros(dev.shape, dtype=jnp.uint8)
+    for b in bounds:
+        cls = cls + (dev >= np.uint8(b)).astype(jnp.uint8)
+    sym = cls * np.uint8(2)
+    sym = jnp.concatenate([sym, jnp.zeros(32, dtype=jnp.uint8)])
+    return _make_word_tiles(sym, L, T4)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "T4"))
+def scatter_reset_tiles(base_tiles, rq, L: int, T4: int):
+    """Copy of the cached symbol tiles with the reset bit (+1 on even
+    symbol bytes: no carries) scattered at positions rq (int32 dropped
+    when out of range).  Tile layout: word w = pos>>2 lives at flat
+    index (w % T4) * L + (w // T4) with byte lane pos & 3
+    (count_scan._make_word_tiles)."""
+    w = rq >> 2
+    # dead lanes carry rq = 2^30: map them out of range so mode="drop"
+    # discards them
+    flat = jnp.where(rq < jnp.int32(L * T4 * 4),
+                     (w % T4) * L + (w // T4), jnp.int32(-1))
+    val = jnp.left_shift(jnp.int32(1), 8 * (rq & 3))
+    out = base_tiles.reshape(-1).at[flat].add(val, mode="drop")
+    return out.reshape(base_tiles.shape)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel (structure mirrors count_scan._count_kernel)
 # ---------------------------------------------------------------------------
@@ -260,13 +297,17 @@ def _pallas_flag_once(packed, tiles, warm, entries, offsets, limits,
     static_argnames=("L", "T", "W", "S", "NSEG", "Tt4", "Lc", "impl",
                      "col_of", "row_of", "R", "Cp", "max_repair",
                      "interpret"))
-def _flag_full(packed_rc, packed_full, tiles, n1,
+def _flag_full(packed_rc, packed_full, tiles, n1, entries_init,
                L: int, T: int, W: int, S: int, NSEG: int, Tt4: int,
                Lc: int, impl: str, col_of: tuple = (),
                row_of: tuple = (), R: int = 0, Cp: int = 0,
                max_repair: int = 4, interpret: bool = False):
     """Returns (flag words [L*T/32] position-major, interference count,
-    converged).  n1 = n + 1 (the EOI position is live)."""
+    converged, lane exit states).  n1 = n + 1 (the EOI position is
+    live).  entries_init: lane entry guesses — DEAD for a fresh scan
+    (resets inside the warmup window resync), or a previous converged
+    scan's exits (states AT lane starts; warmup is then skipped and the
+    fixpoint check passes in one pass)."""
     T4, W4 = T // 4, W // 4
     n1 = jnp.int32(n1)
     lane_ids = jnp.arange(L, dtype=jnp.int32)
@@ -274,10 +315,13 @@ def _flag_full(packed_rc, packed_full, tiles, n1,
     tail = tiles[T4 - W4:]
     warm = jnp.roll(tail.reshape(W4, L), 1, axis=1).reshape(
         W4, 8, tiles.shape[2])
-    # reset-scan lane entry guess: DEAD (no live run) — resets inside
-    # the warmup window resync the lane exactly
-    entries0 = jnp.full((L,), DEAD, jnp.int32)
-    offsets0 = jnp.zeros((L,), jnp.int32).at[0].set(W)
+    is_hint = jnp.any(entries_init != DEAD)
+    entries0 = entries_init
+    # hinted entries are states AT lane starts: skip the warmup window
+    # entirely (offsets == W), matching the repair passes
+    offsets0 = jnp.where(
+        is_hint, jnp.full((L,), W, jnp.int32),
+        jnp.zeros((L,), jnp.int32).at[0].set(W))
     limits = jnp.clip(n1 - lane_ids * T, 0, T)
 
     if impl == "pallas":
@@ -349,6 +393,7 @@ def _flag_full(packed_rc, packed_full, tiles, n1,
         cond, rep, (jnp.int32(0), fw0, cnts0, exits0, sync0))
     converged = ~jnp.any(real & (want_of(exits) != sync))
     interf = cnts.sum(dtype=jnp.int32)
+    hint = want_of(exits)  # next call's one-pass entry states
     # position-major words: lane l covers words [l*T/32, (l+1)*T/32)
     fw_global = jnp.transpose(fw, (1, 2, 0)).reshape(-1)
     # mask bits past n (= n1-1): the automaton keeps walking pad
@@ -362,7 +407,7 @@ def _flag_full(packed_rc, packed_full, tiles, n1,
         (jnp.left_shift(jnp.int32(1),
                         jnp.minimum(partial_bits, 31)) - 1))
     fw_global = jnp.where(full, fw_global, fw_global & pmask)
-    return fw_global, interf, converged
+    return fw_global, interf, converged, hint
 
 
 class FlagResetScanner:
@@ -391,21 +436,49 @@ class FlagResetScanner:
         return self.scan_words_syms(syms, int(dev.shape[0]),
                                     interpret=interpret)
 
-    def scan_words_syms(self, syms, n: int, interpret: bool = False):
+    def scan_words_syms(self, syms, n: int, interpret: bool = False,
+                        entries_hint=None):
         """As scan_words but from a prebuilt symbol stream (length
-        n + pad >= n+1; see reset_symbols)."""
+        n + pad >= n+1; see reset_symbols).
+
+        `entries_hint`: [L] int32 lane entry states from a previous
+        converged scan of the SAME symbol stream.  Reset-scan lanes
+        enter as DEAD and only resync at a reset, so when resets are
+        sparse (the bidirectional span path) the first pass always pays
+        one full repair rescan; with the hint the fixpoint check passes
+        immediately and the scan costs one pass.  Exactness is
+        unaffected — the repair loop validates the hint like any other
+        guess.  Returns (flag words, interference, converged, exits);
+        cache `exits` as the next call's hint."""
         L, T, W, Lc = plan_geometry(int(syms.shape[0]))
+        tiles = _make_word_tiles(syms, L, T // 4)
+        return self._scan_geom(tiles, n, (L, T, W, Lc), entries_hint,
+                               interpret)
+
+    def scan_tiles(self, tiles, n: int, entries_hint=None,
+                   interpret: bool = False):
+        """As scan_words_syms but from prebuilt SYMBOL WORD TILES under
+        reset_geometry(n) — the bidirectional span path caches the
+        reset-free tiles per corpus and scatters per-call reset bits in
+        the tile domain (scatter_reset_tiles), so no corpus-sized
+        per-call work remains before the kernel."""
+        return self._scan_geom(tiles, n, reset_geometry(n),
+                               entries_hint, interpret)
+
+    def _scan_geom(self, tiles, n: int, geom, entries_hint, interpret):
+        L, T, W, Lc = geom
         # Tt4 must be a multiple of 8 (one flag word per 8 tile steps)
         Tt4 = min(64, max(8, (T // 4) // 4))
         while (T // 4) % Tt4:
             Tt4 //= 2
         if Tt4 % 8:
             Tt4 = 8
-        tiles = _make_word_tiles(syms, L, T // 4)
         t = self.tables
-        fw, interf, conv = _flag_full(
-            t.packed_rc, t.packed_full, tiles, n + 1, L=L, T=T, W=W,
+        if entries_hint is None or int(entries_hint.shape[0]) != L:
+            entries_hint = jnp.full((L,), DEAD, jnp.int32)
+        return _flag_full(
+            t.packed_rc, t.packed_full, tiles, n + 1, entries_hint,
+            L=L, T=T, W=W,
             S=t.S, NSEG=t.NSEG, Tt4=Tt4, Lc=Lc, impl=self.impl,
             col_of=t.col_of, row_of=t.row_of, R=t.R, Cp=t.Cp,
             interpret=interpret)
-        return fw, interf, conv

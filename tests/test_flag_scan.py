@@ -68,7 +68,7 @@ def test_flag_scan_matches_reset_scanner(case, impl):
     be, dd, dev, rmask, n = _mk(pattern, corpus, pos, rctx)
     exp_words, conv_e, interf_e = _expected_words(be, dd, dev, rmask, n)
     fsc = FlagResetScanner(dd, rctx, impl=impl)
-    fw, interf, conv = fsc.scan_words(dev, rmask,
+    fw, interf, conv, _h = fsc.scan_words(dev, rmask,
                                       interpret=(impl == "pallas"))
     fw = np.asarray(jax.device_get(fw)).astype(np.uint32).astype(
         np.int64)
@@ -95,7 +95,7 @@ def test_flag_scan_interference_detected():
     rmask = np.zeros(n, dtype=bool)
     rmask[pos] = True
     fsc = FlagResetScanner(dd, CTX_OTHER, impl="gather")
-    fw, interf, conv = fsc.scan_words(dev, jnp.asarray(rmask))
+    fw, interf, conv, _h = fsc.scan_words(dev, jnp.asarray(rmask))
     sc = ResetScanner(dd)
     _, _, _, interf_e, _ = sc.scan_device(dev, jnp.asarray(rmask))
     assert (int(jax.device_get(interf)) > 0) == bool(

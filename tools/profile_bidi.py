@@ -14,15 +14,30 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def t(fn, reps=3):
+def _sync(out):
+    """block_until_ready does NOT reliably wait through the axon
+    tunnel; a scalar device_get is the only trustworthy fence (costs
+    the ~26 ms tunnel round trip — subtract the measured floor)."""
     import jax
+    import jax.numpy as jnp
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "ndim")]
+    acc = None
+    for x in leaves:
+        v = jnp.ravel(x)[0].astype(jnp.int32) if x.ndim else \
+            x.astype(jnp.int32)
+        acc = v if acc is None else acc + v
+    jax.device_get(acc)
+
+
+def t(fn, reps=3):
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
@@ -37,6 +52,11 @@ def main():
                                             bidi_ends)
     from coregex_tpu.utils.corpus_cache import (device_corpus,
                                                 device_corpus_flipped)
+
+    import jax.numpy as jnp
+    z = jax.device_put(jnp.int32(0))
+    floor, _ = t(lambda: z + 1, reps=5)
+    print(f"sync floor: {floor*1e3:.1f} ms", flush=True)
 
     mb = int(os.environ.get("COREGEX_TPU_PB_MB", "256"))
     base = build_base()
@@ -54,7 +74,7 @@ def main():
         dev = device_corpus(arr)
         devf = device_corpus_flipped(arr)
         ssc = be._span_scanner_for_corpus()
-        rsc = be._rev_flag_scanner()
+        rsc = be._rev_flag_scanner(True) or be._rev_flag_scanner()
         print(pat, "ssc tree:", ssc.dsd.tree_ops(),
               "rev tree:", rsc.tables.NSEG + rsc.tables.S
               + rsc.tables.R * (rsc.tables.Cp + 1), flush=True)
@@ -78,7 +98,12 @@ def main():
               f"(okA={bool(jax.device_get(okA))})", flush=True)
 
         dt, outR = t(lambda: rsc.scan_words_syms(syms, n))
-        fw_rev, _i, conv2 = outR
+        fw_rev, _i, conv2, rhint = outR
+        dt, outR = t(lambda: rsc.scan_words_syms(
+            syms, n, entries_hint=rhint))
+        print(f"  rev hinted {dt*1e3:8.1f} ms  {n/dt/1e9:6.2f} GB/s",
+              flush=True)
+        fw_rev = outR[0]
         print(f"  rev scan   {dt*1e3:8.1f} ms  {n/dt/1e9:6.2f} GB/s "
               f"(conv2={bool(jax.device_get(conv2))})", flush=True)
 
