@@ -206,3 +206,52 @@ def test_bitset_look_on_tpu():
     want = [m.span() for m in re.finditer(pat.encode(), small)]
     assert e.find_all_index(small) == (want or None)
     assert got == want_unit * (len(data) // len(unit))
+
+
+def test_bidi_span_transducer_on_tpu():
+    """Round-5 bidirectional extraction: the span-transducer forward
+    scan + reverse reset scan, device-resident with exact parity on
+    the 4 MB tile and warm sync-free reruns (hinted lane entries)."""
+    import jax
+    tile = np.frombuffer(CORPUS, np.uint8)
+    for pat in (r"\d+\.\d+\.\d+\.\d+", r"\d+.\d+.\d+"):
+        e = Engine.compile(pat)
+        e.batch_threshold = 0
+        be = e.batch_engine()
+        want = [m.span() for m in re.finditer(pat.encode(), CORPUS)]
+        r = be.find_all_spans_device(tile)
+        assert r is not None, pat
+        sd, cnt = r
+        got = [(int(a), int(b))
+               for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+        assert got == want, pat
+        # warm deferred path: count may be a device scalar, ok deferred
+        r2 = be.find_all_spans_device(tile, defer_ok=True)
+        sd2, cnt2, ok2 = r2
+        cnt2h = (int(jax.device_get(cnt2))
+                 if not isinstance(cnt2, int) else cnt2)
+        assert cnt2h == len(want)
+        assert ok2 is None or bool(jax.device_get(ok2))
+
+
+def test_bitset_device_spans_on_tpu():
+    """Round-5 BITSET_NFA device extraction (verdict missing item 3):
+    DFA-overflow pattern extracts device-resident with parity."""
+    import jax
+    from coregex_tpu.meta.config import Config
+    from coregex_tpu.syntax.parser import parse
+    pat = r"[a-f]{2,8}[0-9]{2,8}x"
+    e = Engine(parse(pat), config=Config(state_limit=16))
+    e.batch_threshold = 0
+    assert e.strategy == "bitset_nfa", e.strategy_reason
+    unit = b"zz abc42x dd1x eeeeee33x aa00x qq9x "
+    data = unit * 30000  # ~1 MB
+    arr = np.frombuffer(data, np.uint8)
+    want = [m.span() for m in re.finditer(pat.encode(), data)]
+    be = e.batch_engine()
+    r = be.find_all_spans_device(arr)
+    assert r is not None
+    sd, cnt = r
+    got = [(int(a), int(b))
+           for a, b in np.asarray(jax.device_get(sd[:cnt]))]
+    assert got == want
