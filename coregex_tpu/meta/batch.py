@@ -805,7 +805,8 @@ class BatchEngine:
         cost ~0.7 s per 256 MB and OOMed past 448 MB."""
         import jax
         from ..ops.bytescan import _bucket
-        from ..ops.span_chain import line_event_words, line_spans_events
+        from ..ops.span_chain import (line_event_words,
+                                      line_spans_candidates)
         sp = self.plan.split
         a_univ, b_empty, b_univ, a_is_empty = self._line_shape_parts(sp)
         if a_univ == UNIV_ANY or b_univ == UNIV_ANY:
@@ -818,20 +819,23 @@ class BatchEngine:
             return None  # event masks assume newline-free needles
         words, cnts = line_event_words(dev, tuple(lit), tuple(prefix),
                                        sp.line_anchored)
+        # round 5b: the chain compacts CANDIDATES only (newlines ride
+        # as per-word payload tables), so the cap scales with lit hits
+        # instead of every newline in the corpus
         if known_cnt is None:
-            ev_total = int(sum(int(x) for x in jax.device_get(cnts)))
+            cand_total = int(jax.device_get(cnts[1]))
             if fp is not None:
-                self._spans_cnt_cache[fp] = ev_total
+                self._spans_cnt_cache[fp] = cand_total
         else:
-            ev_total = known_cnt
-        if ev_total == 0:
+            cand_total = known_cnt
+        if cand_total == 0:
             return _empty_spans_dev(), 0, None
-        if ev_total > self.MAX_DEVICE_SPANS:
+        if cand_total > self.MAX_DEVICE_SPANS:
             return None
-        cap = _bucket(ev_total + 1, 16)
-        spans, cntm_dev, ok = line_spans_events(
+        cap = _bucket(cand_total, 16)
+        spans, cntm_dev, ok = line_spans_candidates(
             list(words), n, cap, mode, sp.line_anchored, len(lit),
-            len(prefix), None)
+            len(prefix))
         if known_cnt is None:
             cntm, okh = (int(x) for x in
                          jax.device_get((cntm_dev, ok)))

@@ -340,6 +340,101 @@ def _line_stream_spans(pos, kind, cnt, n_dev, cap: int, mode: str,
     return jnp.stack([s_c, e_c], axis=1), cntm, ok
 
 
+@functools.partial(jax.jit, static_argnames=("nwb", "cap", "mode",
+                                             "anchored", "k", "plen",
+                                             "interpret"))
+def _line_cand_spans_jit(candw, nlw, lspw, n_dev, nwb: int, cap: int,
+                         mode: str, anchored: bool, k: int, plen: int,
+                         interpret: bool = False):
+    """Candidate-only line extraction (round 5b): ONE chain over the
+    candidate words with the newline (and anchored line-start-prefix)
+    words + prev/next position tables riding as payloads — newlines
+    never become events, so the chain and all hit-sized algebra scale
+    with CANDIDATES (the event-stream form paid for every newline:
+    ~27M events per 1.6 GB, ~0.5 s per find_all)."""
+    from .compact2 import compact_pay, sparse_chain_payloads
+    ONE = jnp.int32(1)
+    lastnl_w = _word_lastpos_table(nlw, nwb)
+    nextnl_w = _word_nextpos_table(nlw, nwb)
+    pays = [nlw, lastnl_w, nextnl_w]
+    if anchored:
+        lastlsp_w = _word_lastpos_table(lspw, nwb)
+        pays += [lspw, lastlsp_w]
+    # dead-event sentinel (nwb*32 overflows int32 at the 1.6 GB bucket)
+    out = sparse_chain_payloads(candw, pays, 2 ** 31 - 1, cap,
+                                interpret=interpret)
+    if anchored:
+        (c_pos, nlw_i, lastnl_i, nextnl_i, lspw_i, lastlsp_i,
+         cnt, okc) = out
+    else:
+        c_pos, nlw_i, lastnl_i, nextnl_i, cnt, okc = out
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < cnt
+    bitc = c_pos & 31
+    below = jnp.left_shift(ONE, bitc) - ONE          # bits < bitc
+    at_or_below = below | jnp.left_shift(ONE, bitc)  # bits <= bitc
+    v = nlw_i & below
+    pnl = jnp.where(v != 0, (c_pos & ~31) + _floor_log2(v), lastnl_i)
+    bol = pnl + 1
+    v2 = nlw_i & ~below                              # bits >= bitc
+    eol = jnp.where(v2 != 0, (c_pos & ~31) + _ctz32(v2), nextnl_i)
+    eol = jnp.minimum(eol, n_dev)  # final unterminated line ends at n
+    if anchored:
+        v3 = lspw_i & at_or_below
+        lsp_last = jnp.where(v3 != 0, (c_pos & ~31) + _floor_log2(v3),
+                             lastlsp_i)
+        valid = live & (lsp_last == bol) & (c_pos >= bol + plen)
+    else:
+        valid = live
+    if mode == "bol_to_last":
+        # keep the LAST valid candidate per line: its line's BOL is
+        # smaller than every later valid candidate's BOL
+        bolv = jnp.where(valid, bol, jnp.int32(2 ** 30))
+        nxtmin = -jnp.flip(cummax_fast(jnp.flip(-bolv), -(2 ** 30)))
+        nxtmin = jnp.concatenate([nxtmin[1:],
+                                  jnp.full(1, 2 ** 30, jnp.int32)])
+        keep = valid & (bol < nxtmin)
+        s_v, e_v = bol, c_pos + k
+    else:
+        # first valid candidate per line
+        bolv = jnp.where(valid, bol, jnp.int32(-1))
+        prevmax = jnp.concatenate(
+            [jnp.full(1, -1, jnp.int32), cummax_fast(bolv, -1)[:-1]])
+        keep = valid & (bol > prevmax)
+        if mode == "first_to_eol":
+            s_v, e_v = c_pos, eol
+        else:  # bol_to_eol
+            s_v, e_v = bol, eol
+    out2 = compact_pay(keep, [s_v, e_v], cap, interpret=interpret)
+    _, s_c, e_c, cntm, okc2 = out2
+    livem = jnp.arange(cap, dtype=jnp.int32) < cntm
+    ok = okc & okc2 & jnp.all(jnp.where(livem, s_c < e_c, True))
+    nxt = jnp.concatenate([s_c[1:], jnp.full(1, 2 ** 31 - 1,
+                                             jnp.int32)])
+    liven = jnp.arange(cap, dtype=jnp.int32) < cntm - 1
+    ok &= jnp.all(jnp.where(liven, e_c <= nxt, True))
+    e_c = jnp.where(livem, e_c, s_c)
+    s_c = jnp.where(livem, s_c, n_dev)
+    return jnp.stack([s_c, e_c], axis=1), cntm, ok
+
+
+def line_spans_candidates(words, n: int, cap: int, mode: str,
+                          anchored: bool, k: int, plen: int,
+                          interpret: bool = False):
+    """Candidate-chain line extraction from line_event_words' outputs
+    (cap bounds CANDIDATES, not newline events).  Returns
+    (spans [cap,2], match count DEVICE scalar, ok DEVICE bool)."""
+    from .compact2 import _bucket_up
+    nlw = words[0]
+    candw = words[1]
+    lspw = words[2] if anchored else candw
+    nwb = _bucket_up(max(int(candw.shape[0]), 1))
+    return _line_cand_spans_jit(
+        _fit_words(candw, nwb), _fit_words(nlw, nwb),
+        _fit_words(lspw, nwb), _dev_i32(n), nwb, cap, mode, anchored,
+        k, plen, interpret=interpret)
+
+
 def line_spans_events(kind_words, n: int, cap: int, mode: str,
                       anchored: bool, k: int, plen: int,
                       cnt_events, interpret: bool = False):
@@ -404,6 +499,26 @@ def _word_lastpos_table(bits_w, nw: int):
                     jnp.int32(-1))
     incl = cummax_fast(top, -1)
     return jnp.concatenate([jnp.full(1, -1, jnp.int32), incl[:-1]])
+
+
+def _ctz32(v):
+    """Lowest set-bit index of int32 v != 0 (count trailing zeros)."""
+    return _floor_log2(v & jnp.negative(v))
+
+
+_POS_BIG = 2 ** 30
+
+
+def _word_nextpos_table(bits_w, nw: int):
+    """nextpos_w[i] = lowest set-bit POSITION strictly after word i
+    (2^30 if none): the mirror of _word_lastpos_table via a flipped
+    running max."""
+    base = jnp.arange(nw, dtype=jnp.int32) * 32
+    low = jnp.where(bits_w != 0, base + _ctz32(bits_w),
+                    jnp.int32(_POS_BIG))
+    incl = -jnp.flip(cummax_fast(jnp.flip(-low), -_POS_BIG))
+    return jnp.concatenate([incl[1:],
+                            jnp.full(1, _POS_BIG, jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=("ranges", "lit", "m",
@@ -599,7 +714,9 @@ def bidi_ends(flagw, firstw, n_dev, total, kind, capM: int, nwb: int,
     tail fixup, count parity check, and the reverse scan's fused
     symbol/reset build."""
     from .compact2 import sparse_chain_payloads
-    n = nwb * 32  # mask domain bound; true n rides n_dev
+    # dead-event sentinel for the chain (any value >= n works; nwb*32
+    # hits exactly 2^31 at the 1.6 GB bucket and overflows int32)
+    n = 2 ** 31 - 1
     ONE = jnp.int32(1)
     fw = _fit_words(flagw, nwb)
     gw = _fit_words(firstw, nwb)
