@@ -147,9 +147,10 @@ def scatter_reset_tiles(base_tiles, rq, L: int, T4: int):
     index (w % T4) * L + (w // T4) with byte lane pos & 3
     (count_scan._make_word_tiles)."""
     w = rq >> 2
-    # dead lanes carry rq = 2^30: map them out of range so mode="drop"
-    # discards them
-    flat = jnp.where(rq < jnp.int32(L * T4 * 4),
+    # dead lanes carry rq = -1 (negative: at the 1.6 GB bucket every
+    # positive int32 is an in-range position); keep them negative so
+    # mode="drop" discards them
+    flat = jnp.where((rq >= 0) & (rq < jnp.int32(L * T4 * 4)),
                      (w % T4) * L + (w // T4), jnp.int32(-1))
     val = jnp.left_shift(jnp.int32(1), 8 * (rq & 3))
     out = base_tiles.reshape(-1).at[flat].add(val, mode="drop")

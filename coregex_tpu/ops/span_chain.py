@@ -389,10 +389,10 @@ def _line_cand_spans_jit(candw, nlw, lspw, n_dev, nwb: int, cap: int,
     if mode == "bol_to_last":
         # keep the LAST valid candidate per line: its line's BOL is
         # smaller than every later valid candidate's BOL
-        bolv = jnp.where(valid, bol, jnp.int32(2 ** 30))
-        nxtmin = -jnp.flip(cummax_fast(jnp.flip(-bolv), -(2 ** 30)))
+        bolv = jnp.where(valid, bol, jnp.int32(_POS_BIG))
+        nxtmin = -jnp.flip(cummax_fast(jnp.flip(-bolv), -_POS_BIG))
         nxtmin = jnp.concatenate([nxtmin[1:],
-                                  jnp.full(1, 2 ** 30, jnp.int32)])
+                                  jnp.full(1, _POS_BIG, jnp.int32)])
         keep = valid & (bol < nxtmin)
         s_v, e_v = bol, c_pos + k
     else:
@@ -506,7 +506,10 @@ def _ctz32(v):
     return _floor_log2(v & jnp.negative(v))
 
 
-_POS_BIG = 2 ** 30
+# "no position" sentinel: must exceed EVERY real position — corpora run
+# past 2^30 bytes, so use INT32_MAX (a 2^30 sentinel silently undercut
+# real next-positions beyond 1.07 GB)
+_POS_BIG = 2 ** 31 - 1
 
 
 def _word_nextpos_table(bits_w, nw: int):
@@ -749,10 +752,12 @@ def bidi_ends(flagw, firstw, n_dev, total, kind, capM: int, nwb: int,
     # reversed indices costs ~13 ms per 2M elements on this chip, the
     # roll is a pair of dynamic slices
     ends_f = jnp.roll(jnp.flip(ends_c), cntF - capM)
-    rq = jnp.where(liveF, n_dev - ends_f, jnp.int32(2 ** 30))
+    # dead entries carry rq = -1: at the 1.6 GB corpus bucket the word
+    # arrays span all of int32 (2^26 words x 32), so no POSITIVE
+    # sentinel is out of range — only a negative index drops
+    rq = jnp.where(liveF, n_dev - ends_f, jnp.int32(-1))
     rw = jnp.zeros(nwb1, dtype=jnp.int32).at[rq >> 5].add(
-        jnp.left_shift(ONE, rq & 31), mode="drop",
-        indices_are_sorted=True)
+        jnp.left_shift(ONE, rq & 31), mode="drop")
     return ends_c, cntF, rq, rw, ok
 
 

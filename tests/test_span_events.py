@@ -129,3 +129,28 @@ def test_nullable_has_no_span_tables():
                        track_empty=True)
     cd = build_count_dfa_nullable(u)
     assert cd is not None and not cd.spans_simple
+
+
+def test_position_tables_beyond_2pow30():
+    """Sentinel regression (round-5 bench): next/last-position tables
+    must be exact for positions past 2^30 — at the 1.6 GB corpus
+    bucket (2^26 words) a 2^30 'no position' sentinel undercut real
+    positions and silently corrupted line EOLs and reset drops."""
+    import jax.numpy as jnp
+    from coregex_tpu.ops.span_chain import (_word_lastpos_table,
+                                            _word_nextpos_table)
+    nwb = 1 << 26
+    bits = np.zeros(nwb, np.int64)
+    pos = [37, 2 ** 30 + 12345, 1_500_000_000, 1_610_000_000]
+    for p in pos:
+        bits[p >> 5] |= 1 << (p & 31)
+    w = jnp.asarray(((bits + 2 ** 31) % 2 ** 32 - 2 ** 31)
+                    .astype(np.int32))
+    nxt = np.asarray(_word_nextpos_table(w, nwb))
+    lst = np.asarray(_word_lastpos_table(w, nwb))
+    for p in pos[:-1]:
+        wi = p >> 5
+        want = min(q for q in pos if q > (wi + 1) * 32 - 1)
+        assert nxt[wi] == want
+    assert nxt[pos[-1] >> 5] == 2 ** 31 - 1
+    assert lst[pos[1] >> 5] == 37
