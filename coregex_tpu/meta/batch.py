@@ -545,7 +545,7 @@ class BatchEngine:
             Strategy.PREFIX_SET: self._prefix_family_spans_dev,
             Strategy.FULL_SCAN: self._bidi_spans_dev,
             Strategy.BITSET_NFA: self._bitset_nfa_spans_dev,
-            Strategy.INNER: self._inner_spans_dev,
+            Strategy.INNER: self._inner_family_spans_dev,
         }
         b = builders.get(strat)
         if b is None and strat != Strategy.NULLABLE_CORE:
@@ -555,7 +555,8 @@ class BatchEngine:
         known = self._spans_cnt_cache.get(fp) if (warm and defer_ok) \
             else None
         if strat in (Strategy.PREFIX_RUN, Strategy.PREFIX_SET,
-                     Strategy.FULL_SCAN, Strategy.BITSET_NFA):
+                     Strategy.FULL_SCAN, Strategy.BITSET_NFA,
+                     Strategy.INNER):
             # span-transducer scanner choice (ASCII-projected tables
             # when the corpus allows; verdict cached per device buffer)
             self._bidi_ascii = corpus_is_ascii(data)
@@ -1094,6 +1095,23 @@ class BatchEngine:
         if known_cnt is not None or n > self.DEVICE_SPANS_LIMIT:
             return None
         return self._candidate_spans_dev(dev, n)
+
+    def _inner_family_spans_dev(self, dev, n, known_cnt=None, fp=None):
+        """INNER: the bidirectional transducer path when the pattern's
+        count transducer is spans_simple (email/url: two count-speed
+        scans, ~2-3x the candidate/flag-word pipeline at corpus scale);
+        the class-run-prefix pipeline otherwise.  Warm cache entries
+        disambiguate by shape: the bidi path caches (total, kind)
+        tuples, the INNER pipeline caches ints."""
+        if known_cnt is None or isinstance(known_cnt, tuple):
+            r = self._bidi_spans_dev(dev, n, known_cnt=known_cnt,
+                                     fp=fp)
+            if r is not None:
+                return r
+            if known_cnt is not None:
+                return None
+        return self._inner_spans_dev(dev, n, known_cnt=known_cnt,
+                                     fp=fp)
 
     def _bidi_spans_dev(self, dev, n, known_cnt=None, fp=None):
         """(spans, cnt, ok) via the bidirectional event-stream engine,
